@@ -1,0 +1,160 @@
+"""Explicit linear multistep integrators (Adams-Bashforth, Quinlan-Tremaine,
+Stormer-Cowell) as scan-friendly pure functions.
+
+Rebuilds ``integration/src/multistep`` (first_order.rs, second_order/mod.rs,
+second_order/cowell.rs): the ring buffer of past states becomes a dense
+``(ORDER, ...)`` array in the scan carry, most-recent first; the weighted sums
+become tensordots (MXU/VPU friendly), and the startup phase (``mod.rs:202-224``:
+ORDER full steps of the starter method, each split into ``substeps``
+sub-steps) is an unrolled traced loop.
+
+Semantics mirrored from the reference:
+
+* ELM2 position update  y_{n+1} = sum_j(-alpha[j+1] y_{n-j})
+                                 + h^2/beta_d * sum_j(beta[j+1] ddy_{n-j})
+  over j = 0..ORDER-1                         (second_order/mod.rs:91-131)
+* Cowell velocity  dy_{n+1} = (y_{n+1}-y_n)/h
+                              + h/cbeta_d * sum_j(cbeta[j] ddy_{n+1-j})
+  over j = 0..ORDER-1                         (second_order/cowell.rs:19-53)
+* ELM1 update  y_{n+1} = sum_j(-alpha[j+1] y_{n-j})
+                         + h/beta_d * sum_j(beta[j+1] dy_{n-j})
+                                              (first_order.rs:80-119)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .fixed import erk_step, srkn_step
+from .methods import ELMTableau, get
+
+
+class ELM2Carry(NamedTuple):
+    t: jax.Array      # current time (seconds, f64 scalar)
+    ys: jax.Array     # (ORDER, ...) positions, most recent first: [y_n, ...]
+    ddys: jax.Array   # (ORDER, ...) accelerations at those positions
+    dy: jax.Array     # current velocity
+
+    @property
+    def y(self) -> jax.Array:
+        return self.ys[0]
+
+
+def _starter_full_step(tab: ELMTableau, accel, t, y, dy, h, ddy_cache):
+    """One full startup step = `tab.substeps` sub-steps of the starter method.
+
+    Returns (t, y, dy, ddy_cache).  The FSAL acceleration cache is threaded
+    through all sub-steps of the whole startup phase, matching the persistent
+    integrator instance in the reference (multistep/mod.rs:46-108).
+    """
+    starter = get(tab.starter)
+    hs = h / tab.substeps
+    if tab.kind == "elm2":
+        for _ in range(tab.substeps):
+            if starter.fsal and ddy_cache is None:
+                ddy_cache = accel(t, y)
+            t, y, dy, ddy_cache = srkn_step(starter, accel, t, y, dy, hs, ddy_cache)
+    else:
+        # first-order starter (RK4) on the state pytree y; dy unused
+        def f(ti, yi):
+            return accel(ti, yi)
+
+        for _ in range(tab.substeps):
+            t, y, _ = erk_step(starter, f, t, y, hs)
+    return t, y, dy, ddy_cache
+
+
+def elm2_init(tab: ELMTableau, accel, t0, y0, dy0, h) -> ELM2Carry:
+    """Startup: run ORDER full steps of the starter, recording (y_k, ddy_k).
+
+    After this the carry holds [y_ORDER .. y_1] / [ddy_ORDER .. ddy_1] and the
+    first call to :func:`elm2_step` computes y_{ORDER+1}, exactly like the
+    reference's `advance_with` bookkeeping (multistep/mod.rs:202-224).
+    """
+    t, y, dy = jnp.asarray(t0), y0, dy0
+    ddy_cache = None
+    ys, ddys = [], []
+    for _ in range(tab.order):
+        t, y, dy, ddy_cache = _starter_full_step(tab, accel, t, y, dy, h, ddy_cache)
+        ys.append(y)
+        ddys.append(accel(t, y))
+    ys.reverse()
+    ddys.reverse()
+    return ELM2Carry(t=t, ys=jnp.stack(ys), ddys=jnp.stack(ddys), dy=dy)
+
+
+def elm2_step(tab: ELMTableau, accel, h, carry: ELM2Carry) -> ELM2Carry:
+    """One fixed multistep step (one force evaluation)."""
+    c_y = jnp.asarray(tab.c_y, carry.ys.dtype)
+    c_dy = jnp.asarray(tab.c_dy, carry.ys.dtype)
+    cb = jnp.asarray(tab.cowell_beta_n, carry.ys.dtype)
+
+    sum1 = jnp.tensordot(c_y, carry.ys, axes=1)
+    sum2 = jnp.tensordot(c_dy, carry.ddys, axes=1)
+    y_new = sum1 + sum2 * (h * h / tab.beta_d)
+    t_new = carry.t + h
+
+    ddy_new = accel(t_new, y_new)
+
+    ddys_new = jnp.concatenate([ddy_new[None], carry.ddys[: tab.order - 1]])
+    vel_sum = jnp.tensordot(cb, ddys_new, axes=1)
+    dy_new = (y_new - carry.ys[0]) / h + vel_sum * (h / tab.cowell_beta_d)
+
+    ys_new = jnp.concatenate([y_new[None], carry.ys[: tab.order - 1]])
+    return ELM2Carry(t=t_new, ys=ys_new, ddys=ddys_new, dy=dy_new)
+
+
+def elm2_scan(tab: ELMTableau, accel, carry: ELM2Carry, h, n_steps: int,
+              emit: Callable | None = None):
+    """Scan `n_steps` multistep steps; optionally emit `emit(carry)` per step."""
+
+    def body(c, _):
+        c = elm2_step(tab, accel, h, c)
+        return c, (emit(c) if emit is not None else None)
+
+    return jax.lax.scan(body, carry, None, length=n_steps)
+
+
+# ---------------------------------------------------------------------------
+# First-order multistep (Adams-Bashforth)
+# ---------------------------------------------------------------------------
+
+
+class ELM1Carry(NamedTuple):
+    t: jax.Array
+    ys: jax.Array    # (ORDER, ...) states, most recent first
+    dys: jax.Array   # (ORDER, ...) derivatives
+
+    @property
+    def y(self) -> jax.Array:
+        return self.ys[0]
+
+
+def elm1_init(tab: ELMTableau, f, t0, y0, h) -> ELM1Carry:
+    t, y = jnp.asarray(t0), y0
+    ys, dys = [], []
+    for _ in range(tab.order):
+        t, y, _, _ = _starter_full_step(tab, f, t, y, None, h, None)
+        ys.append(y)
+        dys.append(f(t, y))
+    ys.reverse()
+    dys.reverse()
+    return ELM1Carry(t=t, ys=jnp.stack(ys), dys=jnp.stack(dys))
+
+
+def elm1_step(tab: ELMTableau, f, h, carry: ELM1Carry) -> ELM1Carry:
+    c_y = jnp.asarray(tab.c_y, carry.ys.dtype)
+    c_dy = jnp.asarray(tab.c_dy, carry.ys.dtype)
+    sum1 = jnp.tensordot(c_y, carry.ys, axes=1)
+    sum2 = jnp.tensordot(c_dy, carry.dys, axes=1)
+    y_new = sum1 + sum2 * (h / tab.beta_d)
+    t_new = carry.t + h
+    dy_new = f(t_new, y_new)
+    return ELM1Carry(
+        t=t_new,
+        ys=jnp.concatenate([y_new[None], carry.ys[: tab.order - 1]]),
+        dys=jnp.concatenate([dy_new[None], carry.dys[: tab.order - 1]]),
+    )
