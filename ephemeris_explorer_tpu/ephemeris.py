@@ -1,0 +1,505 @@
+"""Ephemeris generation and evaluation: the celestial production path.
+
+Rebuilds the reference pipeline
+(NBodyPropagator + SplineInterpolators + UniformSpline,
+``ephemeris/src/propagators/nbody.rs``, ``ephemeris/src/trajectory.rs:412-633``)
+TPU-first:
+
+* integration is a ``lax.scan`` over fixed QT12/Stormer13 multistep steps
+  (one O(N^2) force evaluation per step);
+* per-body position sampling (every ``count`` steps) and the 9-sample
+  least-squares polynomial fit run INSIDE the scan, vectorised over bodies,
+  scattering finished segment coefficients into a flat per-chunk output array
+  (no host round-trips in the hot loop);
+* the host-side :class:`BodyEphemeris` mirrors ``UniformSpline`` exactly
+  (O(1) end-inclusive segment lookup, push/clear/append/prepend semantics,
+  Horner value+derivative evaluation), and :class:`PackedEphemeris` is the
+  flattened device view used by the spacecraft RHS.
+
+Time is carried as f64 seconds since the TAI epoch (ftime.Epoch offsets).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ftime import Duration, Epoch
+from .integrators import get as get_method
+from .integrators.multistep import ELM2Carry, elm2_init, elm2_step
+from .io.scene import DIV, EphemeridesSettings, SolarSystemState
+from .ops import nbody
+from .ops.polyfit import MAX_COEFFS, fit_matrices, horner, horner_and_deriv
+
+
+# ---------------------------------------------------------------------------
+# Host-side per-body container (UniformSpline semantics)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class BodyEphemeris:
+    """Piecewise-polynomial trajectory over uniform segments.
+
+    Equivalent of ``UniformSpline<DVec3>`` (trajectory.rs:412-633): ``start``
+    is the epoch of the first segment, every segment spans ``interval``
+    seconds, and segment coefficients are ascending-power polynomials in
+    tau = (t - seg_start) / interval, padded to 9 coefficients.
+    """
+
+    start_s: float                   # TAI seconds of first segment start
+    interval_s: float                # segment span in seconds
+    coeffs: np.ndarray               # (S, MAX_COEFFS, 3) f64
+
+    # -- bounds (trajectory.rs:426-447) ---------------------------------
+    @property
+    def segment_count(self) -> int:
+        return self.coeffs.shape[0]
+
+    @property
+    def span_s(self) -> float:
+        return self.interval_s * self.segment_count
+
+    @property
+    def start(self) -> Epoch:
+        return Epoch.from_offset_seconds(self.start_s)
+
+    @property
+    def end(self) -> Epoch:
+        return Epoch.from_offset_seconds(self.start_s + self.span_s)
+
+    def contains(self, t: Epoch | float) -> bool:
+        ts = t.as_offset_seconds() if isinstance(t, Epoch) else float(t)
+        local = ts - self.start_s
+        return local >= 0.0 and local <= self.span_s
+
+    # -- indexing (trajectory.rs:552-617) --------------------------------
+    def _index_exclusive(self, local: float) -> int | None:
+        """End-inclusive 'previous polynomial at a knot' rule."""
+        if local < 0.0 or local > self.span_s:
+            return None
+        return max(int(np.ceil(local / self.interval_s)) - 1, 0)
+
+    def get_polynomial(self, t: Epoch | float):
+        ts = t.as_offset_seconds() if isinstance(t, Epoch) else float(t)
+        local = ts - self.start_s
+        idx = self._index_exclusive(local)
+        if idx is None or idx >= self.segment_count:
+            return None
+        tau = (local - self.interval_s * idx) / self.interval_s
+        return self.coeffs[idx], tau
+
+    # -- evaluation ------------------------------------------------------
+    def position(self, t: Epoch | float) -> np.ndarray | None:
+        pt = self.get_polynomial(t)
+        if pt is None:
+            return None
+        c, tau = pt
+        return np.asarray(horner(jnp.asarray(c), tau))
+
+    def state_vector(self, t: Epoch | float):
+        pt = self.get_polynomial(t)
+        if pt is None:
+            return None
+        c, tau = pt
+        pos, dtau = horner_and_deriv(jnp.asarray(c), tau)
+        # dx/dt = dx/dtau / interval  (trajectory.rs:466-469)
+        return np.asarray(pos), np.asarray(dtau) / self.interval_s
+
+    # -- mutation (trajectory.rs:484-549) --------------------------------
+    def push_back(self, coeffs: np.ndarray) -> None:
+        self.coeffs = np.concatenate([self.coeffs, coeffs.reshape(-1, MAX_COEFFS, 3)])
+
+    def push_front(self, coeffs: np.ndarray) -> None:
+        c = coeffs.reshape(-1, MAX_COEFFS, 3)
+        self.coeffs = np.concatenate([c, self.coeffs])
+        self.start_s -= self.interval_s * c.shape[0]
+
+    def append(self, other: "BodyEphemeris") -> None:
+        assert abs((self.start_s + self.span_s) - other.start_s) < 1e-6
+        self.coeffs = np.concatenate([self.coeffs, other.coeffs])
+
+    def prepend(self, other: "BodyEphemeris") -> None:
+        assert abs(self.start_s - (other.start_s + other.span_s)) < 1e-6
+        self.coeffs = np.concatenate([other.coeffs, self.coeffs])
+        self.start_s = other.start_s
+
+    def clear_after(self, t: Epoch | float) -> None:
+        """Truncate segments at/after `t` (trajectory.rs:544-549)."""
+        ts = t.as_offset_seconds() if isinstance(t, Epoch) else float(t)
+        local = ts - self.start_s
+        if local < 0.0 or local >= self.span_s:
+            if local < 0.0:
+                self.coeffs = self.coeffs[:0]
+            return
+        idx = int(local / self.interval_s)
+        self.coeffs = self.coeffs[:idx]
+
+    def clear_before(self, t: Epoch | float) -> None:
+        """Drop segments strictly before `t` (trajectory.rs:537-542)."""
+        ts = t.as_offset_seconds() if isinstance(t, Epoch) else float(t)
+        idx = self._index_exclusive(ts + self.interval_s - self.start_s)
+        if idx is None:
+            return
+        idx = min(idx, self.segment_count)
+        self.start_s += self.interval_s * idx
+        self.coeffs = self.coeffs[idx:]
+
+
+@dataclass
+class Ephemeris:
+    """A system of body ephemerides (ordered as the scene's body list)."""
+
+    names: list[str]
+    mus: np.ndarray                    # (N,)
+    bodies: dict[str, BodyEphemeris]
+
+    @property
+    def n(self) -> int:
+        return len(self.names)
+
+    def __getitem__(self, name: str) -> BodyEphemeris:
+        return self.bodies[name]
+
+    @property
+    def start(self) -> Epoch:
+        return max((b.start for b in self.bodies.values()), default=Epoch.ZERO)
+
+    @property
+    def end(self) -> Epoch:
+        return min((b.end for b in self.bodies.values()), default=Epoch.ZERO)
+
+    def contains(self, t: Epoch | float) -> bool:
+        return all(b.contains(t) for b in self.bodies.values())
+
+    def positions(self, t: Epoch | float) -> np.ndarray | None:
+        out = []
+        for n in self.names:
+            p = self.bodies[n].position(t)
+            if p is None:
+                return None
+            out.append(p)
+        return np.stack(out)
+
+    def pack(self) -> "PackedEphemeris":
+        starts = np.array([self.bodies[n].start_s for n in self.names])
+        intervals = np.array([self.bodies[n].interval_s for n in self.names])
+        nsegs = np.array([self.bodies[n].segment_count for n in self.names], dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(nsegs)[:-1]])
+        flat = np.concatenate([self.bodies[n].coeffs for n in self.names])
+        return PackedEphemeris(
+            mus=jnp.asarray(self.mus),
+            starts=jnp.asarray(starts),
+            intervals=jnp.asarray(intervals),
+            offsets=jnp.asarray(offsets),
+            nsegs=jnp.asarray(nsegs),
+            coeffs=jnp.asarray(flat),
+        )
+
+
+class PackedEphemeris(NamedTuple):
+    """Flattened device view for jit-time evaluation (ragged across bodies)."""
+
+    mus: jax.Array        # (N,)
+    starts: jax.Array     # (N,)
+    intervals: jax.Array  # (N,)
+    offsets: jax.Array    # (N,) first-segment index into coeffs
+    nsegs: jax.Array      # (N,)
+    coeffs: jax.Array     # (sum(nsegs), MAX_COEFFS, 3)
+
+    @property
+    def start_s(self) -> jax.Array:
+        return jnp.max(self.starts)
+
+    @property
+    def end_s(self) -> jax.Array:
+        return jnp.min(self.starts + self.intervals * self.nsegs)
+
+    def _segments(self, t):
+        """(seg_coeffs (N, MAX_COEFFS, 3), tau (N,)) at time t (f64 seconds)."""
+        local = t - self.starts
+        idx = jnp.ceil(local / self.intervals).astype(jnp.int64) - 1
+        idx = jnp.clip(idx, 0, self.nsegs - 1)
+        tau = (local - self.intervals * idx) / self.intervals
+        return self.coeffs[self.offsets + idx], tau
+
+    def positions(self, t) -> jax.Array:
+        """All body positions at time t: (N, 3).  No bounds checking - the
+        caller is responsible for keeping t within bounds (the propagation
+        drivers bound their advance by `end_s`, mirroring the reference's
+        EvalFailed -> stop behavior)."""
+        c, tau = self._segments(t)
+        return horner(c, tau)
+
+    def state_vectors(self, t):
+        c, tau = self._segments(t)
+        pos, dtau = horner_and_deriv(c, tau)
+        return pos, dtau / self.intervals[:, None]
+
+    def accel_at(self, t, at) -> jax.Array:
+        """Gravitational acceleration from all bodies at point(s) `at`.
+
+        Mirrors Bodies::acceleration (dynamics/spacecraft.rs:218-229).
+        """
+        return nbody.accel_at(self.positions(t), self.mus, at)
+
+
+# ---------------------------------------------------------------------------
+# Generation: scan with in-carry sampling + fitting
+# ---------------------------------------------------------------------------
+
+
+class SampleState(NamedTuple):
+    ring: jax.Array       # (N, DIV, 3) sample ring; slot = sample_idx % 8
+    n: jax.Array          # global step count (int64)
+
+
+class GenCarry(NamedTuple):
+    ms: ELM2Carry
+    samp: SampleState
+
+
+def _sample_update(samp: SampleState, y, counts, fit_ms, m0, chunk_off, out):
+    """Vectorised per-step sampling / segment-fit / scatter.
+
+    y: (N, 3) current positions (after the step).  counts: (N,) int64.
+    fit_ms: (N, MAX_COEFFS, 9).  m0: (N,) completed segments before this
+    chunk.  chunk_off: (N,) flat output offsets.  out: (TOT, MAX_COEFFS, 3).
+    """
+    n = samp.n + 1
+    nb = counts.shape[0]
+    k = n // counts
+    due = (n % counts) == 0
+    slot = (k % DIV).astype(jnp.int32)
+    complete = due & (k > 0) & (slot == 0)
+
+    # When `complete`, ring slots 0..7 hold samples tau=0..7/8 of the segment
+    # and y is the tau=1 sample (shared with the next segment's tau=0).
+    samples9 = jnp.concatenate([samp.ring, y[:, None, :]], axis=1)  # (N, 9, 3)
+    coeffs = jnp.einsum("nds,nsc->ndc", fit_ms, samples9)
+
+    m_local = k // DIV - 1 - m0
+    big = jnp.iinfo(jnp.int32).max
+    idx = jnp.where(complete, chunk_off + m_local, big)
+    out = out.at[idx].set(coeffs, mode="drop")
+
+    rows = jnp.arange(nb)
+    cur = samp.ring[rows, slot]
+    ring = samp.ring.at[rows, slot].set(jnp.where(due[:, None], y, cur))
+    return SampleState(ring=ring, n=n), out
+
+
+@dataclass(frozen=True)
+class GenSpec:
+    """Static per-generation configuration."""
+
+    method: str                      # "QuinlanTremaine12" | "Stormer13" | ...
+    h: float                         # signed step (seconds); negative = backward
+    counts: tuple[int, ...]          # per-body sample stride in steps
+    degrees: tuple[int, ...]
+
+    @property
+    def backward(self) -> bool:
+        return self.h < 0
+
+
+class NBodyPropagator:
+    """Incremental fixed-step N-body propagation emitting fitted segments.
+
+    The TPU-shaped equivalent of
+    ``NBodyPropagator<D, DVec3, QuinlanTremaine12<f64>, SplineInterpolators>``
+    (dynamics/celestial.rs:139-140): call :meth:`step_chunk` repeatedly; each
+    call advances ``n_steps`` integration steps in one jitted scan and returns
+    the per-body polynomial segments completed during the chunk.
+    """
+
+    def __init__(
+        self,
+        state: SolarSystemState,
+        settings: EphemeridesSettings,
+        direction: int = +1,
+        method: str = "QuinlanTremaine12",
+    ):
+        names = [b.name for b in state.bodies]
+        missing = [n for n in names if n not in settings.settings]
+        if missing:
+            raise KeyError(f"missing interpolation parameters for {missing}")
+        counts = tuple(settings.settings[n].count for n in names)
+        degrees = tuple(settings.settings[n].degree for n in names)
+        h = float(np.copysign(settings.dt.as_seconds(), direction))
+        self.spec = GenSpec(method=method, h=h, counts=counts, degrees=degrees)
+        self.names = names
+        self.mus = state.mus()
+        self.dt_s = settings.dt.as_seconds()
+        self.t0_s = state.epoch.as_offset_seconds()
+        self._mu_dev = jnp.asarray(self.mus)
+        self._counts_dev = jnp.asarray(np.array(counts, dtype=np.int64))
+        self._fit_ms = jnp.asarray(fit_matrices(degrees, backward=self.spec.backward))
+        self._tab = get_method(method)
+        self._carry: GenCarry | None = None
+        self._accel = lambda t, y: nbody.pairwise_accel(y, self._mu_dev)
+        self._n_steps_done = 0
+        self._chunk_fns: dict = {}
+        self._init_state = (jnp.asarray(state.positions()), jnp.asarray(state.velocities()))
+
+    # -- bookkeeping -----------------------------------------------------
+    @property
+    def steps_done(self) -> int:
+        return self._n_steps_done
+
+    def time(self) -> Epoch:
+        return Epoch.from_offset_seconds(self.t0_s + self.spec.h * self._n_steps_done)
+
+    def _segments_done(self, n_steps: int) -> np.ndarray:
+        c = np.array(self.spec.counts, dtype=np.int64)
+        return (n_steps // c) // DIV
+
+    # -- the jitted chunk ------------------------------------------------
+    def _build_chunk_fn(self, n_scan: int, startup: bool):
+        tab, accel, h = self._tab, self._accel, self.spec.h
+        counts, fit_ms = self._counts_dev, self._fit_ms
+
+        def chunk(carry: GenCarry | None, init_y, init_dy, t0, m0, chunk_off, out):
+            if startup:
+                ring0 = jnp.zeros((counts.shape[0], DIV, 3), dtype=jnp.float64)
+                ring0 = ring0.at[:, 0].set(init_y)  # sample k=0 = initial position
+                samp = SampleState(ring=ring0, n=jnp.asarray(0, jnp.int64))
+                # startup: ORDER starter full-steps, sampling after each
+                ms = None
+                t, y, dy = t0, init_y, init_dy
+                from .integrators.multistep import _starter_full_step
+
+                ddy_cache = None
+                ys, ddys = [], []
+                for _ in range(tab.order):
+                    t, y, dy, ddy_cache = _starter_full_step(
+                        tab, accel, t, y, dy, h, ddy_cache
+                    )
+                    ys.append(y)
+                    ddys.append(accel(t, y))
+                    samp, out = _sample_update(samp, y, counts, fit_ms, m0, chunk_off, out)
+                ys.reverse()
+                ddys.reverse()
+                ms = ELM2Carry(t=t, ys=jnp.stack(ys), ddys=jnp.stack(ddys), dy=dy)
+                carry = GenCarry(ms=ms, samp=samp)
+
+            # thread `out` through the scan carry
+            def body2(state, _):
+                c, o = state
+                ms = elm2_step(tab, accel, h, c.ms)
+                samp, o = _sample_update(c.samp, ms.ys[0], counts, fit_ms, m0, chunk_off, o)
+                return (GenCarry(ms=ms, samp=samp), o), None
+
+            (carry, out), _ = jax.lax.scan(body2, (carry, out), None, length=n_scan)
+            return carry, out
+
+        return jax.jit(chunk, static_argnums=(), donate_argnums=(6,))
+
+    def step_chunk(self, n_steps: int) -> dict[str, np.ndarray]:
+        """Advance `n_steps` steps; return dict name -> (n_new, 9, 3) coeffs."""
+        startup = self._carry is None
+        tab = self._tab
+        n_scan = n_steps - (tab.order if startup else 0)
+        if n_scan < 0:
+            raise ValueError(f"first chunk must cover at least {tab.order} steps")
+
+        n0 = self._n_steps_done
+        m0 = self._segments_done(n0)
+        m1 = self._segments_done(n0 + n_steps)
+        n_new = m1 - m0
+        max_new = n_new  # exact per-body counts (host-side ints)
+        chunk_off = np.concatenate([[0], np.cumsum(max_new)[:-1]]).astype(np.int64)
+        tot = int(max_new.sum())
+        out = jnp.zeros((max(tot, 1), MAX_COEFFS, 3), dtype=jnp.float64)
+
+        key = (n_scan, startup, tot)
+        if key not in self._chunk_fns:
+            self._chunk_fns[key] = self._build_chunk_fn(n_scan, startup)
+        fn = self._chunk_fns[key]
+
+        init_y, init_dy = self._init_state
+        carry, out = fn(
+            self._carry,
+            init_y,
+            init_dy,
+            jnp.asarray(self.t0_s, jnp.float64),
+            jnp.asarray(m0),
+            jnp.asarray(chunk_off),
+            out,
+        )
+        self._carry = carry
+        self._n_steps_done += n_steps
+
+        out_np = np.asarray(out)
+        res = {}
+        for i, name in enumerate(self.names):
+            res[name] = out_np[chunk_off[i] : chunk_off[i] + n_new[i]]
+        return res
+
+    # -- segment placement ----------------------------------------------
+    def segment_epochs(self, name: str, first_seg: int, n_seg: int):
+        """(start_s, interval_s) of segments [first_seg, first_seg + n_seg)."""
+        i = self.names.index(name)
+        interval = self.dt_s * self.spec.counts[i] * DIV
+        if not self.spec.backward:
+            start = self.t0_s + interval * first_seg
+        else:
+            start = self.t0_s - interval * (first_seg + n_seg)
+        return start, interval
+
+
+def generate_ephemeris(
+    state: SolarSystemState,
+    settings: EphemeridesSettings,
+    span: Duration,
+    direction: int = +1,
+    method: str = "QuinlanTremaine12",
+    chunk_steps: int | None = None,
+) -> Ephemeris:
+    """Generate a full system ephemeris over `span` (one direction).
+
+    Equivalent to the app's initial generation path (load/mod.rs:673-687 with
+    prediction.rs dispatch): fixed-step integration with per-body
+    sampling/fitting, assembled into UniformSpline-equivalent containers.
+    """
+    prop = NBodyPropagator(state, settings, direction=direction, method=method)
+    n_steps = int(round(abs(span.as_seconds()) / prop.dt_s))
+    chunk = chunk_steps or min(n_steps, 65536)
+
+    names = prop.names
+    parts: dict[str, list[np.ndarray]] = {n: [] for n in names}
+    done = 0
+    while done < n_steps:
+        this = min(chunk, n_steps - done)
+        res = prop.step_chunk(this)
+        for n in names:
+            parts[n].append(res[n])
+        done += this
+
+    bodies = {}
+    for i, n in enumerate(names):
+        coeffs = np.concatenate(parts[n]) if parts[n] else np.zeros((0, MAX_COEFFS, 3))
+        if prop.spec.backward:
+            # backward generation produces segments newest-first; the spline
+            # stores them in increasing time (push_front semantics)
+            coeffs = coeffs[::-1]
+        start, interval = prop.segment_epochs(n, 0, coeffs.shape[0])
+        bodies[n] = BodyEphemeris(start_s=start, interval_s=interval, coeffs=coeffs)
+    return Ephemeris(names=names, mus=prop.mus, bodies=bodies)
+
+
+def merge_bidirectional(forward: Ephemeris, backward: Ephemeris) -> Ephemeris:
+    """Combine forward + backward ephemerides into one span (prepend merge,
+    celestial.rs:216-235)."""
+    bodies = {}
+    for n in forward.names:
+        f, b = forward.bodies[n], backward.bodies[n]
+        merged = BodyEphemeris(start_s=f.start_s, interval_s=f.interval_s, coeffs=f.coeffs)
+        if b.segment_count:
+            merged.prepend(b)
+        bodies[n] = merged
+    return Ephemeris(names=forward.names, mus=forward.mus, bodies=bodies)
