@@ -1,0 +1,175 @@
+"""Spacecraft propagation tests.
+
+Mirrors the reference's spacecraft end-to-end strategy
+(ephemeris/tests/spacecraft_propagation.rs): propagate against a generated
+ephemeris context and assert physical plausibility; plus unit checks of the
+timeline/TNB machinery.
+"""
+
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ephemeris_explorer_tpu import Duration, Epoch
+from ephemeris_explorer_tpu.ephemeris import generate_ephemeris
+from ephemeris_explorer_tpu.io import scene
+from ephemeris_explorer_tpu.spacecraft import (
+    EPOCH_MAX,
+    EPOCH_MIN,
+    HermiteTrajectory,
+    build_timeline,
+    divergence_time,
+    propagate_ship,
+    segment_idx_at,
+    tnb_to_inertial,
+)
+from ephemeris_explorer_tpu.io.scene import ShipBurn
+
+SYSTEMS = Path(__file__).resolve().parent.parent / "systems"
+
+
+def _burn(start_s, dur_s, acc, ref=None):
+    return ShipBurn(
+        start=Epoch.from_offset_seconds(start_s),
+        duration=Duration.from_seconds(dur_s),
+        acceleration=np.asarray(acc, dtype=np.float64),
+        reference=ref,
+    )
+
+
+def test_timeline_construction():
+    idx = {"Earth": 1, "Sun": 0}
+    burns = [
+        _burn(1000.0, 100.0, [0, 0, 1e-2], "Earth"),
+        _burn(100.0, 50.0, [1e-2, 0, 0], "Sun"),
+    ]
+    tl = build_timeline(burns, idx)
+    s = np.asarray(tl.starts)
+    e = np.asarray(tl.ends)
+    # coast, burn1, coast, burn2, coast
+    assert tl.n_segments == 5
+    assert s[0] == EPOCH_MIN and e[0] == 100.0
+    assert (s[1], e[1]) == (100.0, 150.0)
+    assert (s[2], e[2]) == (150.0, 1000.0)
+    assert (s[3], e[3]) == (1000.0, 1100.0)
+    assert s[4] == 1100.0 and e[4] == EPOCH_MAX
+    assert int(segment_idx_at(tl, 120.0)) == 1
+    assert int(segment_idx_at(tl, 150.0)) == 2  # end-exclusive
+    assert int(segment_idx_at(tl, 1e9)) == 4
+
+
+def test_divergence_time():
+    idx = {"Earth": 0}
+    old = build_timeline([_burn(100.0, 50.0, [1e-2, 0, 0], "Earth")], idx)
+    # same first burn, changed second
+    new = build_timeline(
+        [_burn(100.0, 50.0, [1e-2, 0, 0], "Earth"), _burn(500.0, 10.0, [0, 1e-2, 0], "Earth")],
+        idx,
+    )
+    t = float(divergence_time(new, old, 1e9))
+    # common prefix: coast start MIN, burn at 100, coast at 150; the coast
+    # differs in end (500 vs MAX) -> divergence at the coast start = 150
+    assert t == 150.0
+
+
+def test_tnb_frame():
+    # circular orbit in xy-plane: velocity along +y at (r, 0, 0)
+    pos = jnp.asarray([7000.0, 0.0, 0.0])
+    vel = jnp.asarray([0.0, 7.5, 0.0])
+    # prograde burn (T axis = first component)
+    out = tnb_to_inertial(pos, vel, jnp.asarray([1.0, 0.0, 0.0]))
+    np.testing.assert_allclose(np.asarray(out), [0.0, 1.0, 0.0], atol=1e-12)
+    # third component = angular-momentum axis (r x v -> +z)
+    out_n = tnb_to_inertial(pos, vel, jnp.asarray([0.0, 0.0, 1.0]))
+    np.testing.assert_allclose(np.asarray(out_n), [0.0, 0.0, 1.0], atol=1e-12)
+
+
+@pytest.fixture(scope="module")
+def sem_eph():
+    sc = scene.load_scene(SYSTEMS / "sun_earth_moon_2433282.5")
+    eph = generate_ephemeris(sc.state, sc.settings, Duration.from_days(40.0))
+    return sc, eph
+
+
+def test_coast_propagation_matches_context(sem_eph):
+    """The bundled Earth Station ship (no burns) stays near Earth."""
+    sc, eph = sem_eph
+    ship = sc.ships[0]
+    assert ship.name == "Earth Station"
+    traj = propagate_ship(eph, ship)
+    assert traj.end_s > traj.start_s
+    # ship starts ~7000 km from Earth and stays gravitationally bound (the
+    # ship state is Earth + ~7000 km offset with orbital velocity)
+    for frac in (0.0, 0.5, 1.0):
+        t = traj.start_s + (traj.end_s - traj.start_s) * frac
+        p = traj.position(t)
+        earth = eph["Earth"].position(t)
+        d = np.linalg.norm(p - earth)
+        assert 6.0e3 < d < 6e4, (frac, d)
+
+
+def test_hermite_eval_roundtrip(sem_eph):
+    sc, eph = sem_eph
+    traj = propagate_ship(eph, sc.ships[0])
+    # knot exact values
+    i = len(traj.ts) // 2
+    t = float(traj.ts[i])
+    np.testing.assert_allclose(traj.position(t), traj.pos[i], rtol=0, atol=1e-12)
+    # interpolated velocity ~ finite difference of position
+    tm = (traj.ts[i] + traj.ts[i + 1]) / 2.0
+    p, v = traj.state_vector(tm)
+    d = 1.0
+    fd = (traj.position(tm + d) - traj.position(tm - d)) / (2 * d)
+    assert np.max(np.abs(fd - v)) < 5e-6
+    # out of bounds
+    assert traj.position(traj.start_s - 10.0) is None
+    assert traj.position(traj.end_s + 10.0) is None
+
+
+def test_burn_changes_orbit(sem_eph):
+    """A prograde burn raises the orbit energy relative to Earth."""
+    sc, eph = sem_eph
+    ship = sc.ships[0]
+    from ephemeris_explorer_tpu.io.scene import Ship
+
+    t_burn = ship.start.as_offset_seconds() + 3600.0
+    burned = Ship(
+        name="Burner",
+        integrator="Verner87",
+        tolerance=1e-3,
+        start=ship.start,
+        end=Epoch.from_offset_seconds(ship.start.as_offset_seconds() + 4 * 86400.0),
+        position=ship.position,
+        velocity=ship.velocity,
+        burns=[_burn(t_burn, 300.0, [5e-3, 0.0, 0.0], "Earth")],  # prograde TNB
+    )
+    coast = Ship(**{**burned.__dict__, "name": "Coast", "burns": []})
+    tb = propagate_ship(eph, burned)
+    tc = propagate_ship(eph, coast)
+    t_check = t_burn + 2 * 86400.0
+
+    def energy_rel_earth(traj, t):
+        p, v = traj.state_vector(t)
+        ep, ev = eph["Earth"].state_vector(t)
+        mu = sc.state.bodies[sc.state.body_index("Earth")].mu
+        rel_p, rel_v = p - ep, v - ev
+        return 0.5 * np.dot(rel_v, rel_v) - mu / np.linalg.norm(rel_p)
+
+    eb = energy_rel_earth(tb, t_check)
+    ec = energy_rel_earth(tc, t_check)
+    assert eb > ec + 1e-4  # prograde burn raised specific orbital energy
+    # delta-v roughly 5e-3 * 300 = 1.5 km/s applied
+    _, vb = tb.state_vector(t_burn + 400.0)
+    _, vc = tc.state_vector(t_burn + 400.0)
+    dv = np.linalg.norm(vb - vc)
+    assert 1.0 < dv < 2.0
+
+
+def test_propagation_is_deterministic(sem_eph):
+    sc, eph = sem_eph
+    t1 = propagate_ship(eph, sc.ships[0])
+    t2 = propagate_ship(eph, sc.ships[0])
+    np.testing.assert_array_equal(t1.ts, t2.ts)
+    np.testing.assert_array_equal(t1.pos, t2.pos)
