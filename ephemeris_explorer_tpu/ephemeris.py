@@ -365,26 +365,24 @@ class NBodyPropagator:
 
         def chunk(carry: GenCarry | None, init_y, init_dy, t0, m0, chunk_off, out):
             if startup:
+                from .integrators.multistep import elm2_startup_scan
+
                 ring0 = jnp.zeros((counts.shape[0], DIV, 3), dtype=jnp.float64)
                 ring0 = ring0.at[:, 0].set(init_y)  # sample k=0 = initial position
                 samp = SampleState(ring=ring0, n=jnp.asarray(0, jnp.int64))
-                # startup: ORDER starter full-steps, sampling after each
-                ms = None
-                t, y, dy = t0, init_y, init_dy
-                from .integrators.multistep import _starter_full_step
+                # startup: ORDER starter full-steps, then sampling over the
+                # emitted per-step positions
+                t, dy, ys_fwd, ddys_fwd = elm2_startup_scan(
+                    tab, accel, t0, init_y, init_dy, h
+                )
 
-                ddy_cache = None
-                ys, ddys = [], []
-                for _ in range(tab.order):
-                    t, y, dy, ddy_cache = _starter_full_step(
-                        tab, accel, t, y, dy, h, ddy_cache
-                    )
-                    ys.append(y)
-                    ddys.append(accel(t, y))
-                    samp, out = _sample_update(samp, y, counts, fit_ms, m0, chunk_off, out)
-                ys.reverse()
-                ddys.reverse()
-                ms = ELM2Carry(t=t, ys=jnp.stack(ys), ddys=jnp.stack(ddys), dy=dy)
+                def samp_body(state, y_step):
+                    s, o = state
+                    s, o = _sample_update(s, y_step, counts, fit_ms, m0, chunk_off, o)
+                    return (s, o), None
+
+                (samp, out), _ = jax.lax.scan(samp_body, (samp, out), ys_fwd)
+                ms = ELM2Carry(t=t, ys=ys_fwd[::-1], ddys=ddys_fwd[::-1], dy=dy)
                 carry = GenCarry(ms=ms, samp=samp)
 
             # thread `out` through the scan carry

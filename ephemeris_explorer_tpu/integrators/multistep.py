@@ -67,6 +67,53 @@ def _starter_full_step(tab: ELMTableau, accel, t, y, dy, h, ddy_cache):
     return t, y, dy, ddy_cache
 
 
+def elm2_startup_scan(tab: ELMTableau, accel, t0, y0, dy0, h):
+    """ORDER starter full-steps as nested scans, emitting (y_k, ddy_k) per step.
+
+    Returns (t, dy, ys_fwd, ddys_fwd) with ys_fwd[k] = y_{k+1} in FORWARD
+    order (k = 0..ORDER-1).  Keeps the compiled graph small: one starter
+    sub-step is traced once instead of ORDER * substeps times.
+    """
+    starter = get(tab.starter)
+    hs = h / tab.substeps
+    assert tab.kind == "elm2"
+    t0 = jnp.asarray(t0, jnp.float64)
+
+    if starter.fsal:
+        ddy0 = accel(t0, y0)
+
+        def substep(c, _):
+            t, y, dy, ddy = c
+            t, y, dy, ddy = srkn_step(starter, accel, t, y, dy, hs, ddy)
+            return (t, y, dy, ddy), None
+
+        def fullstep(c, _):
+            c, _ = jax.lax.scan(substep, c, None, length=tab.substeps)
+            t, y, dy, ddy = c
+            # for FSAL SRKN starters the carried ddy IS accel(t, y) at the
+            # full-step boundary (last stage has drift weight 0), so the
+            # reference's explicit re-eval (advance_with) is free here
+            return c, (y, ddy)
+
+        init = (t0, y0, dy0, ddy0)
+    else:
+
+        def substep(c, _):
+            t, y, dy, ddy = c
+            t, y, dy, ddy = srkn_step(starter, accel, t, y, dy, hs, None)
+            return (t, y, dy, ddy), None
+
+        def fullstep(c, _):
+            c, _ = jax.lax.scan(substep, c, None, length=tab.substeps)
+            t, y, dy, ddy = c
+            return c, (y, accel(t, y))
+
+        init = (t0, y0, dy0, accel(t0, y0))
+
+    (t, y, dy, _), (ys, ddys) = jax.lax.scan(fullstep, init, None, length=tab.order)
+    return t, dy, ys, ddys
+
+
 def elm2_init(tab: ELMTableau, accel, t0, y0, dy0, h) -> ELM2Carry:
     """Startup: run ORDER full steps of the starter, recording (y_k, ddy_k).
 
@@ -74,16 +121,8 @@ def elm2_init(tab: ELMTableau, accel, t0, y0, dy0, h) -> ELM2Carry:
     first call to :func:`elm2_step` computes y_{ORDER+1}, exactly like the
     reference's `advance_with` bookkeeping (multistep/mod.rs:202-224).
     """
-    t, y, dy = jnp.asarray(t0), y0, dy0
-    ddy_cache = None
-    ys, ddys = [], []
-    for _ in range(tab.order):
-        t, y, dy, ddy_cache = _starter_full_step(tab, accel, t, y, dy, h, ddy_cache)
-        ys.append(y)
-        ddys.append(accel(t, y))
-    ys.reverse()
-    ddys.reverse()
-    return ELM2Carry(t=t, ys=jnp.stack(ys), ddys=jnp.stack(ddys), dy=dy)
+    t, dy, ys, ddys = elm2_startup_scan(tab, accel, t0, y0, dy0, h)
+    return ELM2Carry(t=t, ys=ys[::-1], ddys=ddys[::-1], dy=dy)
 
 
 def elm2_step(tab: ELMTableau, accel, h, carry: ELM2Carry) -> ELM2Carry:
@@ -134,15 +173,22 @@ class ELM1Carry(NamedTuple):
 
 
 def elm1_init(tab: ELMTableau, f, t0, y0, h) -> ELM1Carry:
-    t, y = jnp.asarray(t0), y0
-    ys, dys = [], []
-    for _ in range(tab.order):
-        t, y, _, _ = _starter_full_step(tab, f, t, y, None, h, None)
-        ys.append(y)
-        dys.append(f(t, y))
-    ys.reverse()
-    dys.reverse()
-    return ELM1Carry(t=t, ys=jnp.stack(ys), dys=jnp.stack(dys))
+    starter = get(tab.starter)
+    hs = h / tab.substeps
+    t0 = jnp.asarray(t0, jnp.float64)
+
+    def substep(c, _):
+        t, y = c
+        t, y, _ = erk_step(starter, f, t, y, hs)
+        return (t, y), None
+
+    def fullstep(c, _):
+        c, _ = jax.lax.scan(substep, c, None, length=tab.substeps)
+        t, y = c
+        return c, (y, f(t, y))
+
+    (t, y), (ys, dys) = jax.lax.scan(fullstep, (t0, y0), None, length=tab.order)
+    return ELM1Carry(t=t, ys=ys[::-1], dys=dys[::-1])
 
 
 def elm1_step(tab: ELMTableau, f, h, carry: ELM1Carry) -> ELM1Carry:

@@ -36,7 +36,9 @@ def pairwise_accel(pos: jax.Array, mu: jax.Array) -> jax.Array:
     inv_r = jax.lax.rsqrt(r2)
     inv_r3 = jnp.where(eye, 0.0, inv_r * inv_r * inv_r)
     w = mu[None, :] * inv_r3                       # (N, N): weight of j on i
-    return jnp.einsum("ij,ijc->ic", w, d)
+    # NOTE: multiply+sum, NOT einsum - an einsum here lowers to an emulated
+    # f64 dot_general on TPU which is ~12x slower than the fused VPU reduce.
+    return (d * w[:, :, None]).sum(axis=1)
 
 
 def accel_at(pos: jax.Array, mu: jax.Array, at: jax.Array) -> jax.Array:

@@ -1,0 +1,128 @@
+"""Multi-chip scale-out: device meshes, sharded N-body kernels, ensembles.
+
+The reference is single-process CPU Rust (SURVEY.md 2.6); its scaling axes in
+the rebuild are:
+
+* N (bodies)   - shard the O(N^2) pair interaction by receiver rows across
+  mesh axis "model"; each device all-gathers source positions over ICI and
+  computes its local rows (a transpose-free row decomposition, the standard
+  N-body SPMD recipe);
+* E (ensemble) - independent initial conditions / batched spacecraft are data
+  parallel across mesh axis "data" (pure vmap, no collectives);
+* time         - sequential lax.scan (not parallelisable; physics).
+
+Both the GSPMD path (jit + sharding annotations; XLA inserts collectives) and
+an explicit shard_map path (manual all_gather) are provided.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..integrators.multistep import ELM2Carry, elm2_init, elm2_step
+from ..ops import nbody
+
+
+def make_mesh(data: int = 1, model: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = data * model
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    dev = np.asarray(devices[:n]).reshape(data, model)
+    return Mesh(dev, axis_names=("data", "model"))
+
+
+# ---------------------------------------------------------------------------
+# Explicit shard_map kernel: row-sharded pairwise acceleration
+# ---------------------------------------------------------------------------
+
+
+def pairwise_accel_rowsharded(mesh: Mesh, pos, mu):
+    """O(N^2) accel with bodies sharded over the "model" axis.
+
+    pos (N, 3) and the result are sharded on rows; mu is replicated.  Inside
+    each shard we all_gather the source positions/mus over ICI and compute the
+    local receiver rows - no psum needed for a row decomposition.
+    """
+
+    def kernel(pos_l, mu_l):
+        # pos_l: (N/D, 3) local rows; gather full sources
+        pos_all = jax.lax.all_gather(pos_l, "model", tiled=True)   # (N, 3)
+        mu_all = jax.lax.all_gather(mu_l, "model", tiled=True)     # (N,)
+        d = pos_all[None, :, :] - pos_l[:, None, :]                # (N/D, N, 3)
+        r2 = jnp.sum(d * d, axis=-1)
+        # self-interaction mask via global row ids
+        shard = jax.lax.axis_index("model")
+        nl = pos_l.shape[0]
+        rows = shard * nl + jnp.arange(nl)
+        self_mask = rows[:, None] == jnp.arange(pos_all.shape[0])[None, :]
+        r2 = jnp.where(self_mask, 1.0, r2)
+        inv_r = jax.lax.rsqrt(r2)
+        inv_r3 = jnp.where(self_mask, 0.0, inv_r * inv_r * inv_r)
+        w = mu_all[None, :] * inv_r3
+        return jnp.einsum("ij,ijc->ic", w, d)
+
+    return jax.shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(P("model", None), P("model")),
+        out_specs=P("model", None),
+    )(pos, mu)
+
+
+# ---------------------------------------------------------------------------
+# Sharded multistep stepping (GSPMD)
+# ---------------------------------------------------------------------------
+
+
+def carry_sharding(mesh: Mesh, ensemble: bool) -> ELM2Carry:
+    """PartitionSpecs for an ELM2Carry: bodies on "model", ensembles on "data"."""
+    lead = ("data",) if ensemble else ()
+
+    def sh(*spec):
+        return NamedSharding(mesh, P(*lead, *spec))
+
+    return ELM2Carry(
+        t=NamedSharding(mesh, P(*lead)),
+        ys=sh(None, "model", None),
+        ddys=sh(None, "model", None),
+        dy=sh("model", None),
+    )
+
+
+def make_sharded_ensemble_step(mesh: Mesh, tab, mus, h):
+    """One QT12 step for an (E, ...) ensemble, sharded (E->data, N->model).
+
+    Returns a jitted step with explicit in/out shardings; XLA GSPMD inserts
+    the all-gather for the pair interaction over the "model" axis and keeps
+    the ensemble axis fully parallel.
+    """
+    mu_dev = jax.device_put(mus, NamedSharding(mesh, P()))
+
+    def accel(t, y):
+        return nbody.pairwise_accel(y, mu_dev)
+
+    def step(carry: ELM2Carry) -> ELM2Carry:
+        return jax.vmap(lambda c: elm2_step(tab, accel, h, c))(carry)
+
+    sh = carry_sharding(mesh, ensemble=True)
+    return jax.jit(step, in_shardings=(sh,), out_shardings=sh)
+
+
+def init_ensemble_carry(mesh: Mesh, tab, mus, t0, pos, vel, h) -> ELM2Carry:
+    """Startup for an (E, N, 3) ensemble; runs the starter vmapped."""
+    mu_dev = jnp.asarray(mus)
+
+    def accel(t, y):
+        return nbody.pairwise_accel(y, mu_dev)
+
+    def init_one(p, v):
+        return elm2_init(tab, accel, t0, p, v, h)
+
+    carry = jax.vmap(init_one)(jnp.asarray(pos), jnp.asarray(vel))
+    sh = carry_sharding(mesh, ensemble=True)
+    return jax.device_put(carry, sh)
