@@ -1,0 +1,134 @@
+"""SOI assignment / transition / apsis / analysis tests."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from ephemeris_explorer_tpu import Duration, Epoch
+from ephemeris_explorer_tpu import analysis, events
+from ephemeris_explorer_tpu.ephemeris import generate_ephemeris
+from ephemeris_explorer_tpu.io import scene
+from ephemeris_explorer_tpu.io.scene import Ship, ShipBurn
+from ephemeris_explorer_tpu.spacecraft import propagate_ship
+
+SYSTEMS = Path(__file__).resolve().parent.parent / "systems"
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    sc = scene.load_scene(SYSTEMS / "sun_earth_moon_2433282.5")
+    eph = generate_ephemeris(sc.state, sc.settings, Duration.from_days(40.0))
+    soi = analysis.assign_soi(sc.state)
+    return sc, eph, soi
+
+
+def test_assign_soi(ctx):
+    sc, eph, soi = ctx
+    i_sun = sc.state.body_index("Sun")
+    i_earth = sc.state.body_index("Earth")
+    i_moon = sc.state.body_index("Moon")
+    assert np.isinf(soi.radii[i_sun])
+    assert soi.parent[i_earth] == i_sun
+    assert soi.parent[i_moon] == i_earth
+    # Earth's SOI ~ 9.2e5 km; Moon's ~ 6.6e4 km
+    assert 8e5 < soi.radii[i_earth] < 1.1e6
+    assert 5e4 < soi.radii[i_moon] < 8e4
+    assert soi.depth[i_sun] == 0 and soi.depth[i_earth] == 1 and soi.depth[i_moon] == 2
+
+
+def test_hierarchy(ctx):
+    sc, eph, soi = ctx
+    h = analysis.hierarchy_at(eph, soi, sc.state.epoch.as_offset_seconds() + 86400.0)
+    i_sun = sc.state.body_index("Sun")
+    i_earth = sc.state.body_index("Earth")
+    i_moon = sc.state.body_index("Moon")
+    assert h[i_moon] == i_earth
+    assert h[i_earth] == i_sun
+    assert h[i_sun] == -1
+
+
+def test_soi_transitions_and_apsides(ctx):
+    """An Earth-orbiting ship: stays in Earth SOI, periapses/apoapses detected."""
+    sc, eph, soi = ctx
+    ship = sc.ships[0]  # Earth Station, elliptical-ish Earth orbit
+    traj = propagate_ship(eph, ship)
+    packed = eph.pack()
+
+    tr = events.soi_transitions(traj, packed, soi.radii)
+    i_earth = sc.state.body_index("Earth")
+    assert len(tr) >= 1
+    assert tr[0][1] == i_earth  # starts inside Earth's SOI
+    assert all(b == i_earth for _, b in tr)  # never leaves over 3 days
+
+    aps = events.apsides(traj, packed, tr)
+    # ~7000 km orbit with ~1.6h period over 3 days: tens of apsides
+    assert len(aps) >= 10
+    for a in aps:
+        assert a.body == i_earth
+        assert 5e3 < a.distance < 1e5
+    kinds = {a.periapsis for a in aps}
+    assert kinds == {True, False}
+    # alternating peri/apo
+    for x, y in zip(aps, aps[1:]):
+        assert x.periapsis != y.periapsis
+        assert y.time > x.time
+
+
+def test_escape_transition(ctx):
+    """A huge burn escapes Earth's SOI; transitions show Earth -> Sun."""
+    sc, eph, soi = ctx
+    base = sc.ships[0]
+    t0 = base.start.as_offset_seconds()
+    ship = Ship(
+        name="Escaper",
+        integrator="Verner87",
+        tolerance=1e-3,
+        start=base.start,
+        end=Epoch.from_offset_seconds(t0 + 20 * 86400.0),
+        position=base.position,
+        velocity=base.velocity,
+        burns=[
+            ShipBurn(
+                start=Epoch.from_offset_seconds(t0 + 600.0),
+                duration=Duration.from_seconds(600.0),
+                acceleration=np.array([8e-3, 0.0, 0.0]),
+                reference="Earth",
+            )
+        ],
+    )
+    traj = propagate_ship(eph, ship)
+    packed = eph.pack()
+    tr = events.soi_transitions(traj, packed, soi.radii)
+    i_earth = sc.state.body_index("Earth")
+    i_sun = sc.state.body_index("Sun")
+    bodies = [b for _, b in tr]
+    assert bodies[0] == i_earth
+    assert i_sun in bodies, f"expected escape to Sun SOI, got {tr}"
+
+    # segmentation: Earth segment then Sun segment; Earth span is an Escape
+    segs = analysis.segment_trajectory(
+        tr,
+        None,
+        [b.name for b in sc.state.bodies],
+        soi_parent_of=lambda b, t: int(soi.parent[b]),
+        start=traj.start_s,
+        end=traj.end_s,
+    )
+    names = [s.name for s in segs]
+    assert any("Earth Escape" in n for n in names), names
+    assert any("Sun" in n for n in names), names
+
+
+def test_closest_separation(ctx):
+    sc, eph, soi = ctx
+    ship = sc.ships[0]
+    traj = propagate_ship(eph, ship)
+    t = analysis.closest_separation(
+        traj.position,
+        eph["Moon"].position,
+        traj.start_s,
+        traj.end_s,
+        precision=1.0,
+    )
+    assert t is not None and traj.start_s <= t <= traj.end_s
