@@ -1,0 +1,442 @@
+"""Public engine API: the orchestration layer the explorer UI would front.
+
+Rebuilds the reference's app-level compute orchestration as a pure library:
+
+* :class:`FlightPlan` - burn list with overlap detection, timeline generation
+  and the incremental replanning rule (flight_plan.rs:19-304),
+* :class:`PredictionTask` - background incremental propagation with progress /
+  pause / cancel, the equivalent of the AsyncComputeTaskPool prediction tasks
+  (prediction.rs:344-485),
+* :class:`Universe` - scene + ephemerides + ships: generate/extend/evaluate/
+  propagate/export (load/mod.rs flow + ui/windows/export.rs).
+"""
+
+from __future__ import annotations
+
+import threading
+import uuid
+from dataclasses import dataclass, field, replace
+
+import numpy as np
+
+from . import analysis, events
+from .ephemeris import BodyEphemeris, Ephemeris, NBodyPropagator, merge_bidirectional
+from .ftime import Duration, Epoch
+from .integrators.adaptive import AdaptiveParams
+from .integrators.methods import ADAPTIVE_METHODS, get as get_method
+from .io import scene as scene_io
+from .io.scene import DIV, EphemeridesSettings, Scene, Ship, ShipBurn, SolarSystemState
+from .spacecraft import (
+    HermiteTrajectory,
+    Timeline,
+    build_timeline,
+    propagate,
+    ship_params,
+)
+
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Flight plans (flight_plan.rs)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Burn:
+    """flight_plan.rs:42-122."""
+
+    start: Epoch
+    duration: Duration
+    acceleration: np.ndarray
+    reference: str | None = None       # body name; None = inertial frame
+    enabled: bool = True
+    overlaps: bool = False
+    id: str = field(default_factory=lambda: str(uuid.uuid4()))
+
+    @property
+    def end(self) -> Epoch:
+        return self.start + self.duration
+
+    def is_active(self) -> bool:
+        return self.enabled and not self.overlaps
+
+    def delta_v(self) -> float:
+        return float(np.linalg.norm(self.acceleration)) * self.duration.as_seconds()
+
+    def overlaps_with(self, other: "Burn") -> bool:
+        return (
+            self.enabled
+            and other.enabled
+            and self.start < other.end
+            and self.end > other.start
+        )
+
+    def to_ship_burn(self) -> ShipBurn:
+        return ShipBurn(
+            start=self.start,
+            duration=self.duration,
+            acceleration=np.asarray(self.acceleration, dtype=np.float64),
+            reference=self.reference,
+        )
+
+
+@dataclass
+class FlightPlan:
+    """flight_plan.rs:187-304."""
+
+    method: str                      # one of ADAPTIVE_METHODS
+    params: AdaptiveParams
+    end: Epoch
+    burns: dict[str, Burn] = field(default_factory=dict)
+
+    def __post_init__(self):
+        if self.method not in ADAPTIVE_METHODS:
+            raise ValueError(f"unknown integration method {self.method}")
+
+    def add_burn(self, burn: Burn) -> str:
+        self.burns[burn.id] = burn
+        return burn.id
+
+    def remove_burn(self, burn_id: str) -> None:
+        self.burns.pop(burn_id, None)
+
+    def compute_overlaps(self) -> None:
+        burns = list(self.burns.values())
+        for i, b in enumerate(burns):
+            b.overlaps = any(
+                j != i and other.overlaps_with(b) for j, other in enumerate(burns)
+            )
+
+    def total_delta_v(self) -> float:
+        return sum(b.delta_v() for b in self.burns.values() if b.is_active())
+
+    def generate_timeline(self, body_index, pad_to: int | None = None) -> Timeline:
+        self.compute_overlaps()
+        return build_timeline(
+            [b.to_ship_burn() for b in self.burns.values() if b.is_active()],
+            body_index,
+            pad_to=pad_to,
+        )
+
+    def restart_epoch(
+        self,
+        previous_timeline: Timeline | None,
+        previous_method: str | None,
+        previous_params: AdaptiveParams | None,
+        trajectory: HermiteTrajectory,
+        body_index,
+    ) -> float:
+        """The incremental-replanning rule (flight_plan.rs:264-303).
+
+        Restart from the latest knot unaffected by the change: full restart if
+        the method or tolerances changed, else from the last timeline event
+        common to old and new plans (clamped into the trajectory).
+        """
+        from .spacecraft import divergence_time
+
+        if (
+            previous_timeline is None
+            or previous_method != self.method
+            or previous_params is None
+            or (previous_params.tol_pos, previous_params.tol_vel, previous_params.n_max)
+            != (self.params.tol_pos, self.params.tol_vel, self.params.n_max)
+        ):
+            return trajectory.start_s
+        new_tl = self.generate_timeline(body_index)
+        before = min(self.end.as_offset_seconds(), trajectory.end_s)
+        t = float(divergence_time(new_tl, previous_timeline, before))
+        return max(t, trajectory.start_s)
+
+
+# ---------------------------------------------------------------------------
+# Background prediction tasks (prediction.rs)
+# ---------------------------------------------------------------------------
+
+
+class PredictionTask:
+    """Incremental background propagation with progress/pause/cancel.
+
+    The reference spawns prediction tasks on a compute thread pool, streams
+    snapshot batches over a bounded channel and merges them on the main
+    thread (prediction.rs:344-485).  Here the worker thread drives the
+    device in chunks and merges finished segments into the shared
+    :class:`Ephemeris` under a lock; `pause` is a flag the worker polls
+    (prediction.rs:423-426) and `cancel` stops at the next chunk boundary.
+    """
+
+    def __init__(
+        self,
+        propagator: NBodyPropagator,
+        target: Ephemeris,
+        lock: threading.Lock,
+        total_steps: int,
+        chunk_steps: int = 8192,
+    ):
+        self._prop = propagator
+        self._target = target
+        self._lock = lock
+        self._total = total_steps
+        self._chunk = chunk_steps
+        self._pause = threading.Event()
+        self._cancel = threading.Event()
+        self._error: BaseException | None = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def start(self) -> "PredictionTask":
+        self._thread.start()
+        return self
+
+    # -- control (prediction.rs:237-263) --------------------------------
+    def pause(self) -> None:
+        self._pause.set()
+
+    def resume(self) -> None:
+        self._pause.clear()
+
+    def cancel(self) -> None:
+        self._cancel.set()
+
+    @property
+    def paused(self) -> bool:
+        return self._pause.is_set()
+
+    @property
+    def in_progress(self) -> bool:
+        return self._thread.is_alive()
+
+    @property
+    def progress(self) -> float:
+        """(current - start) / (target - start)  (prediction.rs:246-250)."""
+        if self._total == 0:
+            return 1.0
+        return min(self._prop.steps_done / self._total, 1.0)
+
+    def join(self, timeout=None) -> None:
+        self._thread.join(timeout)
+        if self._error is not None:
+            raise self._error
+
+    # -- worker ----------------------------------------------------------
+    def _run(self) -> None:
+        try:
+            backward = self._prop.spec.backward
+            while self._prop.steps_done < self._total and not self._cancel.is_set():
+                while self._pause.is_set() and not self._cancel.is_set():
+                    self._pause.wait(0.05)
+                n = min(self._chunk, self._total - self._prop.steps_done)
+                first_seg = self._prop._segments_done(self._prop.steps_done)
+                res = self._prop.step_chunk(n)
+                with self._lock:
+                    for i, name in enumerate(self._prop.names):
+                        coeffs = res[name]
+                        if coeffs.shape[0] == 0:
+                            continue
+                        start, interval = self._prop.segment_epochs(
+                            name, int(first_seg[i]), coeffs.shape[0]
+                        )
+                        body = self._target.bodies.get(name)
+                        piece = BodyEphemeris(
+                            start_s=start,
+                            interval_s=interval,
+                            coeffs=coeffs[::-1] if backward else coeffs,
+                        )
+                        if body is None or body.segment_count == 0:
+                            self._target.bodies[name] = piece
+                        elif backward:
+                            # clear_before + prepend (celestial.rs:216-235)
+                            body.clear_before(piece.end)
+                            body.prepend(piece)
+                        else:
+                            # clear_after + append (celestial.rs:198-213)
+                            body.clear_after(piece.start)
+                            body.append(piece)
+        except BaseException as e:  # noqa: BLE001 - surfaced on join()
+            self._error = e
+
+
+# ---------------------------------------------------------------------------
+# Universe: the top-level session (load/mod.rs flow)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ShipEntry:
+    ship: Ship
+    plan: FlightPlan
+    trajectory: HermiteTrajectory | None = None
+    last_timeline: Timeline | None = None
+    last_method: str | None = None
+    last_params: AdaptiveParams | None = None
+    transitions: list[tuple[float, int]] = field(default_factory=list)
+    apsides: list[events.Apsis] = field(default_factory=list)
+
+
+class Universe:
+    """A loaded scene with ephemerides and ships."""
+
+    def __init__(self, sc: Scene, method: str = "QuinlanTremaine12"):
+        self.scene = sc
+        self.state = sc.state
+        self.settings = sc.settings
+        self.method = method
+        self.soi = analysis.assign_soi(sc.state)
+        self.names = [b.name for b in sc.state.bodies]
+        self.body_index = {n: i for i, n in enumerate(self.names)}
+        self.ephemeris = Ephemeris(names=self.names, mus=sc.state.mus(), bodies={})
+        self.lock = threading.Lock()
+        self._fwd: NBodyPropagator | None = None
+        self._bwd: NBodyPropagator | None = None
+        self.ships: dict[str, ShipEntry] = {}
+
+    # -- loading ----------------------------------------------------------
+    @classmethod
+    def load(cls, directory, **kw) -> "Universe":
+        return cls(scene_io.load_scene(directory), **kw)
+
+    # -- celestial ephemerides -------------------------------------------
+    def _propagator(self, direction: int) -> NBodyPropagator:
+        attr = "_fwd" if direction > 0 else "_bwd"
+        prop = getattr(self, attr)
+        if prop is None:
+            prop = NBodyPropagator(
+                self.state, self.settings, direction=direction, method=self.method
+            )
+            setattr(self, attr, prop)
+        return prop
+
+    def extend(self, span: Duration, direction: int = +1, background: bool = False):
+        """Extend the ephemeris by `span` in `direction`.
+
+        Synchronous by default; with background=True returns a running
+        :class:`PredictionTask` (planner-window semantics,
+        ui/windows/planner.rs:32-200).
+        """
+        prop = self._propagator(direction)
+        n_steps = int(round(abs(span.as_seconds()) / prop.dt_s))
+        total = prop.steps_done + n_steps
+        task = PredictionTask(prop, self.ephemeris, self.lock, total)
+        task.start()
+        if background:
+            return task
+        task.join()
+        return None
+
+    def generate(self, span: Duration, backward_span: Duration | None = None) -> None:
+        """Initial bidirectional generation (load/mod.rs:673-687)."""
+        self.extend(span, +1)
+        if backward_span is not None:
+            self.extend(backward_span, -1)
+
+    # -- evaluation / export ---------------------------------------------
+    def positions(self, at: Epoch):
+        return self.ephemeris.positions(at.as_offset_seconds())
+
+    def export_state(self, at: Epoch, bodies: list[str] | None = None) -> SolarSystemState:
+        """System snapshot from spline evaluation (ui/windows/export.rs:222-256)."""
+        out = []
+        for name in bodies or self.names:
+            b = self.ephemeris[name]
+            sv = b.state_vector(at)
+            if sv is None:
+                raise ValueError(f"{name} does not cover {at}")
+            pos, vel = sv
+            out.append(
+                scene_io.Body(
+                    name=name,
+                    mu=self.state.bodies[self.body_index[name]].mu,
+                    position=pos,
+                    velocity=vel,
+                )
+            )
+        return SolarSystemState(name=self.state.name, epoch=at, bodies=out)
+
+    # -- ships / flight plans --------------------------------------------
+    def spawn_ship(self, ship: Ship, propagate_now: bool = True) -> ShipEntry:
+        plan = FlightPlan(
+            method=ship.integrator,
+            params=ship_params(ship),
+            end=ship.end,
+            burns={},
+        )
+        for b in ship.burns:
+            plan.add_burn(
+                Burn(
+                    start=b.start,
+                    duration=b.duration,
+                    acceleration=b.acceleration,
+                    reference=b.reference,
+                )
+            )
+        entry = ShipEntry(ship=ship, plan=plan)
+        self.ships[ship.name] = entry
+        if propagate_now:
+            self.replan(ship.name)
+        return entry
+
+    def replan(self, name: str, max_knots: int = 65536) -> HermiteTrajectory:
+        """(Re)propagate a ship after flight-plan changes, restarting from the
+        last unaffected event (apply_flight_plan, flight_plan.rs:325-361)."""
+        entry = self.ships[name]
+        plan = entry.plan
+        ship = entry.ship
+        tab = get_method(plan.method)
+        packed = self.ephemeris.pack()
+        timeline = plan.generate_timeline(self.body_index)
+
+        if entry.trajectory is None or len(entry.trajectory.ts) == 0:
+            t0 = ship.start.as_offset_seconds()
+            sv = (np.asarray(ship.position), np.asarray(ship.velocity))
+        else:
+            t0 = plan.restart_epoch(
+                entry.last_timeline,
+                entry.last_method,
+                entry.last_params,
+                entry.trajectory,
+                self.body_index,
+            )
+            got = entry.trajectory.get(t0)
+            if got is None:
+                # restart epoch is not a stored knot: full recompute
+                t0 = ship.start.as_offset_seconds()
+                sv = (np.asarray(ship.position), np.asarray(ship.velocity))
+            else:
+                sv = got
+
+        r = propagate(
+            tab,
+            packed,
+            timeline,
+            t0,
+            jnp.asarray(sv[0]),
+            jnp.asarray(sv[1]),
+            plan.end.as_offset_seconds(),
+            plan.params,
+            max_knots=max_knots,
+        )
+        piece = HermiteTrajectory.from_result(r)
+        if entry.trajectory is None or len(entry.trajectory.ts) == 0 or t0 <= entry.trajectory.start_s:
+            entry.trajectory = piece
+        else:
+            entry.trajectory.join(piece)
+        entry.last_timeline = timeline
+        entry.last_method = plan.method
+        entry.last_params = plan.params
+
+        entry.transitions = events.soi_transitions(
+            entry.trajectory, packed, self.soi.radii
+        )
+        entry.apsides = events.apsides(entry.trajectory, packed, entry.transitions)
+        return entry.trajectory
+
+    def ship_segments(self, name: str) -> list[analysis.PlotSegment]:
+        entry = self.ships[name]
+        tl = entry.last_timeline
+        return analysis.segment_trajectory(
+            entry.transitions,
+            tl,
+            self.names,
+            soi_parent_of=lambda b, t: int(self.soi.parent[b]),
+            start=entry.trajectory.start_s,
+            end=entry.trajectory.end_s,
+        )

@@ -1,0 +1,125 @@
+"""Universe / FlightPlan / PredictionTask orchestration tests."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from ephemeris_explorer_tpu import Duration, Epoch
+from ephemeris_explorer_tpu.api import Burn, FlightPlan, Universe
+from ephemeris_explorer_tpu.integrators.adaptive import AdaptiveParams
+from ephemeris_explorer_tpu.io import scene as scene_io
+
+SYSTEMS = Path(__file__).resolve().parent.parent / "systems"
+
+
+@pytest.fixture()
+def uni():
+    u = Universe.load(SYSTEMS / "sun_earth_moon_2433282.5")
+    u.generate(Duration.from_days(40.0))
+    return u
+
+
+def test_generate_and_extend(uni):
+    t0 = uni.state.epoch
+    assert uni.ephemeris.contains(t0.as_offset_seconds() + 86400.0)
+    end0 = uni.ephemeris.end
+    # extend forward incrementally: bounds advance without regeneration
+    uni.extend(Duration.from_days(30.0))
+    assert uni.ephemeris.end.as_offset_seconds() > end0.as_offset_seconds()
+    # the overlap region is unchanged
+    mid = t0.as_offset_seconds() + 20 * 86400.0
+    assert uni.ephemeris.positions(mid) is not None
+
+
+def test_backward_extension(uni):
+    t0 = uni.state.epoch.as_offset_seconds()
+    uni.extend(Duration.from_days(30.0), direction=-1)
+    p = uni.ephemeris.positions(t0 - 20 * 86400.0)
+    assert p is not None
+
+
+def test_background_task_controls(uni):
+    task = uni.extend(Duration.from_days(60.0), background=True)
+    task.pause()
+    assert task.paused
+    task.resume()
+    task.join(timeout=300)
+    assert not task.in_progress
+    assert task.progress == 1.0
+
+
+def test_export_roundtrip(uni, tmp_path):
+    at = Epoch.from_offset_seconds(uni.state.epoch.as_offset_seconds() + 10 * 86400.0)
+    snap = uni.export_state(at)
+    path = tmp_path / "state.json"
+    scene_io.save_state(snap, path)
+    re = scene_io.load_state(path)
+    assert [b.name for b in re.bodies] == uni.names
+    assert str(re.epoch) == str(at)
+    # the snapshot is a valid initial state: positions match the spline
+    np.testing.assert_allclose(
+        re.bodies[1].position, uni.ephemeris[uni.names[1]].position(at), rtol=0, atol=1e-9
+    )
+
+
+def test_flight_plan_overlap_and_dv():
+    p = AdaptiveParams()
+    fp = FlightPlan(method="Verner87", params=p, end=Epoch.from_offset_seconds(1e6))
+    b1 = Burn(
+        start=Epoch.from_offset_seconds(0.0),
+        duration=Duration.from_seconds(100.0),
+        acceleration=np.array([1e-2, 0, 0]),
+        reference="Earth",
+    )
+    b2 = Burn(
+        start=Epoch.from_offset_seconds(50.0),
+        duration=Duration.from_seconds(100.0),
+        acceleration=np.array([0, 1e-2, 0]),
+        reference="Earth",
+    )
+    fp.add_burn(b1)
+    fp.add_burn(b2)
+    fp.compute_overlaps()
+    assert b1.overlaps and b2.overlaps
+    assert fp.total_delta_v() == 0.0  # overlapping burns are inactive
+    fp.remove_burn(b2.id)
+    fp.compute_overlaps()
+    assert not b1.overlaps
+    assert abs(fp.total_delta_v() - 1.0) < 1e-12
+
+
+def test_replan_incremental(uni):
+    ship = uni.scene.ships[0]
+    entry = uni.spawn_ship(ship)
+    traj1 = entry.trajectory
+    n1 = len(traj1.ts)
+    assert n1 > 10
+
+    # add a burn near the end: replan restarts from the last common event
+    t_burn = traj1.start_s + 0.8 * (traj1.end_s - traj1.start_s)
+    entry.plan.add_burn(
+        Burn(
+            start=Epoch.from_offset_seconds(t_burn),
+            duration=Duration.from_seconds(60.0),
+            acceleration=np.array([1e-3, 0, 0]),
+            reference="Earth",
+        )
+    )
+    before = traj1.pos[: n1 // 2].copy()
+    uni.replan(ship.name)
+    traj2 = uni.ships[ship.name].trajectory
+    # early knots unchanged (incremental restart preserved them)
+    np.testing.assert_array_equal(traj2.pos[: n1 // 2], before)
+    # trajectory diverges after the burn
+    assert traj2.end_s >= traj1.end_s - 1.0
+
+
+def test_ship_analysis(uni):
+    ship = uni.scene.ships[0]
+    uni.spawn_ship(ship)
+    entry = uni.ships[ship.name]
+    assert len(entry.transitions) >= 1
+    segs = uni.ship_segments(ship.name)
+    assert len(segs) >= 1
+    assert any("Orbit" in s.name or "Earth" in s.name for s in segs)
