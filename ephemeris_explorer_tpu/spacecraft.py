@@ -485,3 +485,93 @@ def propagate_ship(
         max_knots=max_knots,
     )
     return HermiteTrajectory.from_result(r)
+
+
+# ---------------------------------------------------------------------------
+# Batched (vmapped) propagation - the "64 ships with flight plans" config
+# ---------------------------------------------------------------------------
+
+
+def stack_timelines(timelines: list[Timeline]) -> Timeline:
+    """Pad to a common segment count and stack into (B, S) arrays."""
+    s_max = max(t.n_segments for t in timelines)
+    padded = []
+    for t in timelines:
+        pad = s_max - t.n_segments
+        if pad:
+            t = Timeline(
+                starts=jnp.concatenate([t.starts, jnp.full((pad,), EPOCH_MAX)]),
+                ends=jnp.concatenate([t.ends, jnp.full((pad,), EPOCH_MAX)]),
+                accels=jnp.concatenate([t.accels, jnp.zeros((pad, 3))]),
+                frame_kind=jnp.concatenate(
+                    [t.frame_kind, jnp.zeros((pad,), jnp.int32)]
+                ),
+                frame_body=jnp.concatenate(
+                    [t.frame_body, jnp.zeros((pad,), jnp.int32)]
+                ),
+            )
+        padded.append(t)
+    return Timeline(*(jnp.stack([getattr(t, f) for t in padded]) for f in Timeline._fields))
+
+
+def propagate_batch(
+    tab,
+    eph: PackedEphemeris,
+    timelines: Timeline,     # stacked (B, S) arrays
+    t0s,                     # (B,)
+    pos0s,                   # (B, 3)
+    vel0s,                   # (B, 3)
+    end_ts,                  # (B,)
+    params: AdaptiveParams,
+    max_knots: int = 16384,
+) -> PropagationResult:
+    """vmapped fleet propagation: every ship runs the full segment-bounded
+    adaptive driver in lockstep (divergent step counts are masked by the
+    vmapped while_loops).  Ships must share (method, tolerance); the driver
+    layer groups by those (ship JSON defaults: Verner87 @ 1e-3)."""
+
+    def one(tl, t0, p0, v0, et):
+        return propagate(tab, eph, tl, t0, p0, v0, et, params, max_knots=max_knots)
+
+    return jax.vmap(one)(timelines, t0s, pos0s, vel0s, end_ts)
+
+
+def propagate_ships(ephemeris, ships, until=None, max_knots: int = 16384):
+    """Propagate a fleet of Ship configs, grouping by (integrator, tolerance).
+
+    Returns {ship.name: HermiteTrajectory}.
+    """
+    from .integrators.methods import get as get_method
+
+    packed = ephemeris.pack() if not isinstance(ephemeris, PackedEphemeris) else ephemeris
+    names = ephemeris.names
+    index = {n: i for i, n in enumerate(names)}
+
+    groups: dict[tuple, list] = {}
+    for s in ships:
+        groups.setdefault((s.integrator, s.tolerance), []).append(s)
+
+    out = {}
+    for (method, tol), group in groups.items():
+        tab = get_method(method)
+        params = ship_params(group[0])
+        tls = stack_timelines([build_timeline(s.burns, index) for s in group])
+        t0s = jnp.asarray([s.start.as_offset_seconds() for s in group])
+        p0s = jnp.asarray(np.stack([s.position for s in group]))
+        v0s = jnp.asarray(np.stack([s.velocity for s in group]))
+        ends = jnp.asarray(
+            [
+                (until or s.end).as_offset_seconds()
+                for s in group
+            ]
+        )
+        r = jax.jit(
+            lambda tl, t0, p0, v0, et: propagate_batch(
+                tab, packed, tl, t0, p0, v0, et, params, max_knots=max_knots
+            )
+        )(tls, t0s, p0s, v0s, ends)
+        for i, s in enumerate(group):
+            out[s.name] = HermiteTrajectory.from_result(
+                PropagationResult(*(x[i] for x in r))
+            )
+    return out

@@ -173,3 +173,45 @@ def test_propagation_is_deterministic(sem_eph):
     t2 = propagate_ship(eph, sc.ships[0])
     np.testing.assert_array_equal(t1.ts, t2.ts)
     np.testing.assert_array_equal(t1.pos, t2.pos)
+
+
+def test_batched_fleet_matches_single(sem_eph):
+    """vmapped fleet propagation gives identical results to single-ship runs."""
+    import jax.numpy as jnp
+    from ephemeris_explorer_tpu.io.scene import Ship
+    from ephemeris_explorer_tpu.spacecraft import propagate_ships
+
+    sc, eph = sem_eph
+    base = sc.ships[0]
+    ships = []
+    for k in range(4):
+        ships.append(
+            Ship(
+                name=f"fleet-{k}",
+                integrator="Verner87",
+                tolerance=1e-3,
+                start=base.start,
+                end=base.end,
+                position=base.position + np.array([100.0 * k, 0, 0]),
+                velocity=base.velocity,
+                burns=(
+                    [_burn(base.start.as_offset_seconds() + 3600.0, 120.0, [2e-3, 0, 0], "Earth")]
+                    if k % 2
+                    else []
+                ),
+            )
+        )
+    fleet = propagate_ships(eph, ships, max_knots=4096)
+    assert set(fleet) == {s.name for s in ships}
+    for s in ships:
+        solo = propagate_ship(eph, s, max_knots=4096)
+        batched = fleet[s.name]
+        # vmapped and single-ship runs compile differently, so the adaptive
+        # step sequences may differ at the last ulp; the trajectories must
+        # agree to within the integration tolerance regime
+        assert abs(solo.end_s - batched.end_s) < 1.0
+        for frac in (0.1, 0.5, 0.9):
+            t = solo.start_s + frac * (solo.end_s - solo.start_s)
+            pa, pb = solo.position(t), batched.position(t)
+            assert pa is not None and pb is not None
+            assert np.max(np.abs(pa - pb)) < 1e-2, (s.name, frac)
