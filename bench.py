@@ -40,8 +40,25 @@ def main() -> None:
     mu_dev = jnp.asarray(mu)
     h = 600.0
 
-    def accel(t, y):
-        return nbody.pairwise_accel(y, mu_dev)
+    # Pallas two-float pair kernel (compute-bound, ~1.6x the fused-XLA f64
+    # path); fall back to the jnp kernel if the platform can't lower it.
+    try:
+        from ephemeris_explorer_tpu.ops.pallas_nbody import (
+            pairwise_accel as pallas_accel,
+            split_f64,
+        )
+
+        mu_hi, mu_lo = split_f64(mu_dev.reshape(1, -1))
+
+        def accel(t, y):
+            return pallas_accel(y, mu_hi, mu_lo)
+
+        _probe = np.asarray(accel(0.0, jnp.asarray(pos)))
+        assert np.isfinite(_probe).all()
+    except Exception:
+
+        def accel(t, y):
+            return nbody.pairwise_accel(y, mu_dev)
 
     @jax.jit
     def chunk(carry):

@@ -4,7 +4,7 @@ Stormer-Cowell) as scan-friendly pure functions.
 Rebuilds ``integration/src/multistep`` (first_order.rs, second_order/mod.rs,
 second_order/cowell.rs): the ring buffer of past states becomes a dense
 ``(ORDER, ...)`` array in the scan carry, most-recent first; the weighted sums
-become tensordots (MXU/VPU friendly), and the startup phase (``mod.rs:202-224``:
+become fused broadcast-reductions (VPU friendly), and the startup phase (``mod.rs:202-224``:
 ORDER full steps of the starter method, each split into ``substeps``
 sub-steps) is an unrolled traced loop.
 
@@ -131,15 +131,22 @@ def elm2_step(tab: ELMTableau, accel, h, carry: ELM2Carry) -> ELM2Carry:
     c_dy = jnp.asarray(tab.c_dy, carry.ys.dtype)
     cb = jnp.asarray(tab.cowell_beta_n, carry.ys.dtype)
 
-    sum1 = jnp.tensordot(c_y, carry.ys, axes=1)
-    sum2 = jnp.tensordot(c_dy, carry.ddys, axes=1)
+    def wsum(coeffs, stack):
+        # explicit broadcast+reduce: a tensordot here would lower to an
+        # emulated-f64 dot_general on TPU (slow MXU path) instead of fused
+        # VPU elementwise ops
+        shape = (-1,) + (1,) * (stack.ndim - 1)
+        return jnp.sum(coeffs.reshape(shape) * stack, axis=0)
+
+    sum1 = wsum(c_y, carry.ys)
+    sum2 = wsum(c_dy, carry.ddys)
     y_new = sum1 + sum2 * (h * h / tab.beta_d)
     t_new = carry.t + h
 
     ddy_new = accel(t_new, y_new)
 
     ddys_new = jnp.concatenate([ddy_new[None], carry.ddys[: tab.order - 1]])
-    vel_sum = jnp.tensordot(cb, ddys_new, axes=1)
+    vel_sum = wsum(cb, ddys_new)
     dy_new = (y_new - carry.ys[0]) / h + vel_sum * (h / tab.cowell_beta_d)
 
     ys_new = jnp.concatenate([y_new[None], carry.ys[: tab.order - 1]])
@@ -194,8 +201,9 @@ def elm1_init(tab: ELMTableau, f, t0, y0, h) -> ELM1Carry:
 def elm1_step(tab: ELMTableau, f, h, carry: ELM1Carry) -> ELM1Carry:
     c_y = jnp.asarray(tab.c_y, carry.ys.dtype)
     c_dy = jnp.asarray(tab.c_dy, carry.ys.dtype)
-    sum1 = jnp.tensordot(c_y, carry.ys, axes=1)
-    sum2 = jnp.tensordot(c_dy, carry.dys, axes=1)
+    shape = (-1,) + (1,) * (carry.ys.ndim - 1)
+    sum1 = jnp.sum(c_y.reshape(shape) * carry.ys, axis=0)
+    sum2 = jnp.sum(c_dy.reshape(shape) * carry.dys, axis=0)
     y_new = sum1 + sum2 * (h / tab.beta_d)
     t_new = carry.t + h
     dy_new = f(t_new, y_new)

@@ -69,32 +69,37 @@ def _rsqrt_df(x: TwoFloat, refinements: int = 1) -> TwoFloat:
 
 def _accel_kernel(
     pos_hi_ref, pos_lo_ref, mu_hi_ref, mu_lo_ref,
-    row_hi_ref, row_lo_ref,
+    rows_hi_ref, rows_lo_ref,
     out_hi_ref, out_lo_ref,
     *, n_bodies: int, tile_rows: int, tile_cols: int,
 ):
+    """Pair tile layout: receiver rows in SUBLANES, source columns in LANES.
+
+    Inputs come in two layouts to avoid any in-kernel relayout: lane-major
+    sources (3, N) + (1, N) mu, and sublane-major receiver rows (TR, 3).
+    The per-receiver reduction runs over lanes; output blocks are (TR, 3).
+    """
     tr, tc = tile_rows, tile_cols
     n_col_tiles = n_bodies // tc
-    i0 = pl.program_id(0) * tr
-    row_ids = i0 + jax.lax.broadcasted_iota(jnp.int32, (tr, 1), 0)
+    i0 = jax.lax.mul(pl.program_id(0), jnp.int32(tr))
+    row_ids = jax.lax.add(jax.lax.broadcasted_iota(jnp.int32, (tr, 1), 0), i0)
 
-    # row positions: (3, TR) -> per-component (TR, 1)
-    rh = row_hi_ref[:, :]
-    rl = row_lo_ref[:, :]
+    rows_hi = rows_hi_ref[:, :]  # (TR, 3), rows in sublanes
+    rows_lo = rows_lo_ref[:, :]
 
     def col_tile(k, acc):
-        c0 = k * tc
-        col_ids = c0 + jax.lax.broadcasted_iota(jnp.int32, (1, tc), 1)
+        c0 = jax.lax.mul(k, jnp.int32(tc))
+        col_ids = jax.lax.add(jax.lax.broadcasted_iota(jnp.int32, (1, tc), 1), c0)
         self_mask = row_ids == col_ids  # (TR, TC)
-
-        ph = pos_hi_ref[:, pl.ds(c0, tc)]  # (3, TC)
-        plo = pos_lo_ref[:, pl.ds(c0, tc)]
 
         # d_c = p_j - p_i in two-float, per component: (TR, TC)
         d = []
         for c in range(3):
-            pj = TwoFloat(ph[c, :][None, :], plo[c, :][None, :])
-            pi = TwoFloat(rh[c, :][:, None], rl[c, :][:, None])
+            pj = TwoFloat(
+                pos_hi_ref[c, pl.ds(c0, tc)][None, :],   # (1, TC) lanes
+                pos_lo_ref[c, pl.ds(c0, tc)][None, :],
+            )
+            pi = TwoFloat(rows_hi[:, c][:, None], rows_lo[:, c][:, None])  # (TR, 1)
             d.append(eft.sub(pj, pi))
 
         r2 = eft.add(eft.add(eft.mul(d[0], d[0]), eft.mul(d[1], d[1])),
@@ -110,19 +115,21 @@ def _accel_kernel(
         zero = jnp.zeros_like(w.hi)
         w = eft.where(self_mask, TwoFloat(zero, zero), w)
 
-        new = []
+        out = []
         for c in range(3):
             term = eft.mul(w, d[c])              # (TR, TC)
             s = _dd_tree_sum(term, axis=1)       # (TR, 1)
-            new.append(eft.add(TwoFloat(acc[0][:, c][:, None], acc[1][:, c][:, None]), s))
-        acc_hi = jnp.concatenate([x.hi for x in new], axis=1)  # (TR, 3)
-        acc_lo = jnp.concatenate([x.lo for x in new], axis=1)
-        return (acc_hi, acc_lo)
+            out.append(eft.add(acc[c], s))
+        return tuple(out)
 
-    acc0 = (jnp.zeros((tr, 3), jnp.float32), jnp.zeros((tr, 3), jnp.float32))
-    acc_hi, acc_lo = jax.lax.fori_loop(0, n_col_tiles, col_tile, acc0)
-    out_hi_ref[:, :] = acc_hi.T  # (3, TR)
-    out_lo_ref[:, :] = acc_lo.T
+    acc0 = tuple(
+        TwoFloat(jnp.zeros((tr, 1), jnp.float32), jnp.zeros((tr, 1), jnp.float32))
+        for _ in range(3)
+    )
+    acc = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_col_tiles), col_tile, acc0)
+    for c in range(3):
+        out_hi_ref[:, c : c + 1] = acc[c].hi
+        out_lo_ref[:, c : c + 1] = acc[c].lo
 
 
 @partial(jax.jit, static_argnames=("tile_rows", "tile_cols", "interpret"))
@@ -134,38 +141,44 @@ def pairwise_accel_df64(
 
     pos_hi/pos_lo: (3, N) f32 component-major split positions.
     mu_hi/mu_lo:   (1, N) f32 split gravitational parameters.
-    Returns (acc_hi, acc_lo) of shape (3, N).
+    Returns (acc_hi, acc_lo) of shape (N, 3).
     """
     n = pos_hi.shape[1]
     tile_cols = min(tile_cols, n)
     tile_rows = min(tile_rows, n)
     assert n % tile_rows == 0 and n % tile_cols == 0
 
+    rows_hi = pos_hi.T  # (N, 3) sublane-major receiver view
+    rows_lo = pos_lo.T
+
     kernel = partial(
         _accel_kernel, n_bodies=n, tile_rows=tile_rows, tile_cols=tile_cols
     )
     grid = (n // tile_rows,)
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((3, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((3, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((3, n), jnp.float32),
-            jax.ShapeDtypeStruct((3, n), jnp.float32),
-        ],
-        interpret=interpret,
-    )(pos_hi, pos_lo, mu_hi, mu_lo, pos_hi, pos_lo)
+    # Mosaic cannot lower the i64 grid/index scalars that jax_enable_x64
+    # injects; trace the kernel with x64 disabled (all operands are f32).
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((3, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_rows, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_rows, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((tile_rows, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_rows, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n, 3), jnp.float32),
+                jax.ShapeDtypeStruct((n, 3), jnp.float32),
+            ],
+            interpret=interpret,
+        )(pos_hi, pos_lo, mu_hi, mu_lo, rows_hi, rows_lo)
 
 
 def split_f64(x, transpose: bool = False):
@@ -190,4 +203,4 @@ def pairwise_accel(pos, mu_hi, mu_lo, interpret: bool = False, **tiles):
     """
     ph, plo = split_f64(pos, transpose=True)      # (3, N)
     ah, al = pairwise_accel_df64(ph, plo, mu_hi, mu_lo, interpret=interpret, **tiles)
-    return combine_f64(ah, al, transpose=True)    # (N, 3)
+    return combine_f64(ah, al)                    # (N, 3)
