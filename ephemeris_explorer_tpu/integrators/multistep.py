@@ -212,3 +212,110 @@ def elm1_step(tab: ELMTableau, f, h, carry: ELM1Carry) -> ELM1Carry:
         ys=jnp.concatenate([y_new[None], carry.ys[: tab.order - 1]]),
         dys=jnp.concatenate([dy_new[None], carry.dys[: tab.order - 1]]),
     )
+
+
+# ---------------------------------------------------------------------------
+# Compensated-state (two-float) variant
+# ---------------------------------------------------------------------------
+#
+# The reference's convergence suite integrates with a double-double state
+# ("Double<T>", solar_system_convergence.rs:12-172) because plain-f64
+# accumulation error dominates truncation for fast moons (Phobos' 7.6 h
+# period at 10-minute steps).  This variant keeps positions/velocities as
+# TwoFloat pairs (double-double on CPU f64; quad-word on TPU's emulated f64)
+# while evaluating the O(N^2) force in base precision - the state update is
+# O(N * ORDER) so the extra arithmetic is free next to the force evaluation.
+
+from ..ops import eft
+from ..ops.eft import TwoFloat
+
+
+class ELM2CarryC(NamedTuple):
+    t: jax.Array
+    ys: TwoFloat       # (ORDER, ...) positions
+    ddys: jax.Array    # (ORDER, ...) accelerations (base precision)
+    dy: TwoFloat       # current velocity
+
+
+def _dd_wsum(coeffs, stack: TwoFloat) -> TwoFloat:
+    """sum_j coeffs[j] * stack[j] in two-float arithmetic (exact int coeffs)."""
+    acc = eft.mul_float(TwoFloat(stack.hi[0], stack.lo[0]), coeffs[0])
+    for j in range(1, len(coeffs)):
+        if coeffs[j] == 0.0:
+            continue
+        acc = eft.add(acc, eft.mul_float(TwoFloat(stack.hi[j], stack.lo[j]), coeffs[j]))
+    return acc
+
+
+def _f64_wsum(coeffs, stack):
+    shape = (-1,) + (1,) * (stack.ndim - 1)
+    return jnp.sum(jnp.asarray(coeffs, stack.dtype).reshape(shape) * stack, axis=0)
+
+
+def _srkn_step_c(tab, accel, t, y: TwoFloat, dy: TwoFloat, h, ddy0):
+    """Symplectic kick-drift step on a two-float state (startup helper)."""
+    ddy = None
+    for s in range(tab.stages):
+        if s == 0 and tab.fsal and ddy0 is not None:
+            ddy = ddy0
+        else:
+            ddy = accel(t + h * tab.c[s], y.hi)
+        if tab.b[s] != 0.0:
+            dy = eft.add(dy, eft.from_float(ddy * (h * tab.b[s])))
+        if tab.a[s] != 0.0:
+            y = eft.add(y, eft.mul_float(dy, jnp.asarray(h * tab.a[s], y.hi.dtype)))
+    return t + h, y, dy, ddy
+
+
+def elm2_init_c(tab: ELMTableau, accel, t0, y0, dy0, h) -> ELM2CarryC:
+    """Compensated startup (starter sub-steps on the two-float state)."""
+    starter = get(tab.starter)
+    hs = h / tab.substeps
+    t0 = jnp.asarray(t0, jnp.float64)
+    y = eft.from_float(jnp.asarray(y0))
+    dy = eft.from_float(jnp.asarray(dy0))
+    ddy0 = accel(t0, y.hi) if starter.fsal else None
+
+    def substep(c, _):
+        t, y, dy, ddy = c
+        t, y, dy, ddy = _srkn_step_c(starter, accel, t, y, dy, hs, ddy if starter.fsal else None)
+        return (t, y, dy, ddy), None
+
+    def fullstep(c, _):
+        c, _ = jax.lax.scan(substep, c, None, length=tab.substeps)
+        t, y, dy, ddy = c
+        a = ddy if starter.fsal else accel(t, y.hi)
+        return c, (y, a)
+
+    init = (t0, y, dy, ddy0 if ddy0 is not None else accel(t0, y.hi))
+    (t, y, dy, _), (ys, ddys) = jax.lax.scan(fullstep, init, None, length=tab.order)
+    return ELM2CarryC(
+        t=t,
+        ys=TwoFloat(ys.hi[::-1], ys.lo[::-1]),
+        ddys=ddys[::-1],
+        dy=dy,
+    )
+
+
+def elm2_step_c(tab: ELMTableau, accel, h, carry: ELM2CarryC) -> ELM2CarryC:
+    """One multistep step on the two-float state (one force evaluation)."""
+    sum1 = _dd_wsum(tab.c_y, carry.ys)
+    sum2 = _f64_wsum(tab.c_dy, carry.ddys)
+    y_new = eft.add(sum1, eft.from_float(sum2 * (h * h / tab.beta_d)))
+    t_new = carry.t + h
+
+    ddy_new = accel(t_new, y_new.hi)
+
+    ddys_new = jnp.concatenate([ddy_new[None], carry.ddys[: tab.order - 1]])
+    vel_sum = _f64_wsum(tab.cowell_beta_n, ddys_new)
+    y_prev = TwoFloat(carry.ys.hi[0], carry.ys.lo[0])
+    dy_new = eft.add(
+        eft.mul_float(eft.sub(y_new, y_prev), jnp.asarray(1.0 / h, y_new.hi.dtype)),
+        eft.from_float(vel_sum * (h / tab.cowell_beta_d)),
+    )
+
+    ys_new = TwoFloat(
+        jnp.concatenate([y_new.hi[None], carry.ys.hi[: tab.order - 1]]),
+        jnp.concatenate([y_new.lo[None], carry.ys.lo[: tab.order - 1]]),
+    )
+    return ELM2CarryC(t=t_new, ys=ys_new, ddys=ddys_new, dy=dy_new)
