@@ -319,3 +319,121 @@ def elm2_step_c(tab: ELMTableau, accel, h, carry: ELM2CarryC) -> ELM2CarryC:
         jnp.concatenate([y_new.lo[None], carry.ys.lo[: tab.order - 1]]),
     )
     return ELM2CarryC(t=t_new, ys=ys_new, ddys=ddys_new, dy=dy_new)
+
+
+# ---------------------------------------------------------------------------
+# Expansion-state variant (quad-f32 limbs): full accuracy on TPU
+# ---------------------------------------------------------------------------
+#
+# On TPU, f64 is double-word f32 emulation with non-correctly-rounded ops, so
+# both the plain and the TwoFloat-compensated states bottom out at ~2^-48 and
+# drift ~20 km/yr against CPU f64 on fast moons (measured).  Raw f32 ops ARE
+# exact IEEE, so the position state is kept as a 4-limb f32 expansion
+# (ops/expansion.py, ~2^-90): the ELM2 alpha combination uses exact +-2^k
+# scalings and expansion adds, and only the tiny h^2-increment passes through
+# base precision.  The two leading limbs are exactly the df64 pair the Pallas
+# force kernel consumes.
+
+from ..ops import expansion as ex
+
+
+class ELM2CarryQ(NamedTuple):
+    t: jax.Array
+    ys: tuple          # K-tuple of (ORDER, ..., 3) f32 limb arrays
+    ddys: jax.Array    # (ORDER, ..., 3) base-precision accelerations
+    dy: jax.Array      # base-precision velocity
+
+
+def _exp_wsum_alpha(c_y, ys: tuple) -> tuple:
+    """sum_j c_y[j] * ys[j] with c_y in {+-1, +-2} (exact scalings)."""
+    acc = None
+    order = ys[0].shape[0]
+    for j in range(order):
+        c = float(c_y[j])
+        if c == 0.0:
+            continue
+        term = ex.scale_pow2i(tuple(l[j] for l in ys), c)
+        acc = term if acc is None else ex.add(acc, term)
+    return acc
+
+
+def _srkn_step_q(tab, accel, t, y: tuple, dy, h, ddy0):
+    """Symplectic kick-drift startup step: y as f32 expansion, dy in base f64.
+
+    The drift increment dy*(h*A) is computed in base precision (relative
+    2^-48 of a ~km-scale increment) and expansion-added, so the POSITION
+    never gets rounded to base precision - that rounding (0.5 m/step) was
+    measured to dominate the year-scale drift via startup period errors.
+    """
+    ddy = None
+    for s in range(tab.stages):
+        if s == 0 and tab.fsal and ddy0 is not None:
+            ddy = ddy0
+        else:
+            ddy = accel(t + h * tab.c[s], ex.to_f64(y))
+        if tab.b[s] != 0.0:
+            dy = dy + ddy * (h * tab.b[s])
+        if tab.a[s] != 0.0:
+            y = ex.add(y, ex.from_f64(dy * (h * tab.a[s])))
+    return t + h, y, dy, ddy
+
+
+def elm2_init_q(tab: ELMTableau, accel, t0, y0, dy0, h) -> ELM2CarryQ:
+    """Expansion-state startup: starter sub-steps with expansion positions."""
+    starter = get(tab.starter)
+    hs = h / tab.substeps
+    t0 = jnp.asarray(t0, jnp.float64)
+    y = ex.from_f64(jnp.asarray(y0))
+    dy = jnp.asarray(dy0)
+    ddy0 = accel(t0, ex.to_f64(y)) if starter.fsal else None
+
+    def substep(c, _):
+        t, y, dy, ddy = c
+        t, y, dy, ddy = _srkn_step_q(
+            starter, accel, t, y, dy, hs, ddy if starter.fsal else None
+        )
+        return (t, y, dy, ddy), None
+
+    def fullstep(c, _):
+        c, _ = jax.lax.scan(substep, c, None, length=tab.substeps)
+        t, y, dy, ddy = c
+        a = ddy if starter.fsal else accel(t, ex.to_f64(y))
+        return c, (y, a)
+
+    init = (t0, y, dy, ddy0 if ddy0 is not None else accel(t0, ex.to_f64(y)))
+    (t, y, dy, _), (ys, ddys) = jax.lax.scan(fullstep, init, None, length=tab.order)
+    return ELM2CarryQ(
+        t=t,
+        ys=tuple(l[::-1] for l in ys),
+        ddys=ddys[::-1],
+        dy=dy,
+    )
+
+
+def elm2_step_q(tab: ELMTableau, accel, h, carry: ELM2CarryQ) -> ELM2CarryQ:
+    """One multistep step on the expansion state (one force evaluation).
+
+    `accel(t, y_f64)` is evaluated at the base-precision rounding of the
+    expansion position (force noise is the surviving error source: ~2^-48
+    relative on TPU, which random-walks to well under 1 km over 100 years).
+    """
+    assert all(abs(c) in (0.0, 1.0, 2.0) for c in tab.c_y), tab.name
+    sum1 = _exp_wsum_alpha(tab.c_y, carry.ys)
+    sum2 = _f64_wsum(tab.c_dy, carry.ddys)
+    y_new = ex.add(sum1, ex.from_f64(sum2 * (h * h / tab.beta_d)))
+    t_new = carry.t + h
+
+    ddy_new = accel(t_new, ex.to_f64(y_new))
+
+    ddys_new = jnp.concatenate([ddy_new[None], carry.ddys[: tab.order - 1]])
+    vel_sum = _f64_wsum(tab.cowell_beta_n, ddys_new)
+    y_prev = tuple(l[0] for l in carry.ys)
+    dy_new = ex.to_f64(ex.add(y_new, ex.neg(y_prev))) / h + vel_sum * (
+        h / tab.cowell_beta_d
+    )
+
+    ys_new = tuple(
+        jnp.concatenate([nl[None], ol[: tab.order - 1]])
+        for nl, ol in zip(y_new, carry.ys)
+    )
+    return ELM2CarryQ(t=t_new, ys=ys_new, ddys=ddys_new, dy=dy_new)
