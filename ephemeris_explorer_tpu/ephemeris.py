@@ -30,7 +30,15 @@ import numpy as np
 
 from .ftime import Duration, Epoch
 from .integrators import get as get_method
-from .integrators.multistep import ELM2Carry, elm2_init, elm2_step
+from .integrators.multistep import (
+    ELM2Carry,
+    ELM2CarryQ,
+    elm2_init,
+    elm2_init_q,
+    elm2_step,
+    elm2_step_q,
+)
+from .ops import expansion as ex
 from .io.scene import DIV, EphemeridesSettings, SolarSystemState
 from .ops import nbody
 from .ops.polyfit import MAX_COEFFS, fit_matrices, horner, horner_and_deriv
@@ -323,7 +331,11 @@ class NBodyPropagator:
         settings: EphemeridesSettings,
         direction: int = +1,
         method: str = "QuinlanTremaine12",
+        precision: str = "f64",
     ):
+        """precision: "f64" (reference-equivalent; CPU-exact) or "extended"
+        (quad-f32 expansion position state - the TPU long-horizon mode, see
+        integrators.multistep.elm2_step_q)."""
         names = [b.name for b in state.bodies]
         missing = [n for n in names if n not in settings.settings]
         if missing:
@@ -331,6 +343,9 @@ class NBodyPropagator:
         counts = tuple(settings.settings[n].count for n in names)
         degrees = tuple(settings.settings[n].degree for n in names)
         h = float(np.copysign(settings.dt.as_seconds(), direction))
+        if precision not in ("f64", "extended"):
+            raise ValueError(precision)
+        self.precision = precision
         self.spec = GenSpec(method=method, h=h, counts=counts, degrees=degrees)
         self.names = names
         self.mus = state.mus()
@@ -363,18 +378,25 @@ class NBodyPropagator:
         tab, accel, h = self._tab, self._accel, self.spec.h
         counts, fit_ms = self._counts_dev, self._fit_ms
 
+        extended = self.precision == "extended"
+
         def chunk(carry: GenCarry | None, init_y, init_dy, t0, m0, chunk_off, out):
             if startup:
-                from .integrators.multistep import elm2_startup_scan
-
                 ring0 = jnp.zeros((counts.shape[0], DIV, 3), dtype=jnp.float64)
                 ring0 = ring0.at[:, 0].set(init_y)  # sample k=0 = initial position
                 samp = SampleState(ring=ring0, n=jnp.asarray(0, jnp.int64))
                 # startup: ORDER starter full-steps, then sampling over the
                 # emitted per-step positions
-                t, dy, ys_fwd, ddys_fwd = elm2_startup_scan(
-                    tab, accel, t0, init_y, init_dy, h
-                )
+                if extended:
+                    ms = elm2_init_q(tab, accel, t0, init_y, init_dy, h)
+                    ys_fwd = ex.to_f64(tuple(l[::-1] for l in ms.ys))
+                else:
+                    from .integrators.multistep import elm2_startup_scan
+
+                    t, dy, ys_fwd, ddys_fwd = elm2_startup_scan(
+                        tab, accel, t0, init_y, init_dy, h
+                    )
+                    ms = ELM2Carry(t=t, ys=ys_fwd[::-1], ddys=ddys_fwd[::-1], dy=dy)
 
                 def samp_body(state, y_step):
                     s, o = state
@@ -382,14 +404,18 @@ class NBodyPropagator:
                     return (s, o), None
 
                 (samp, out), _ = jax.lax.scan(samp_body, (samp, out), ys_fwd)
-                ms = ELM2Carry(t=t, ys=ys_fwd[::-1], ddys=ddys_fwd[::-1], dy=dy)
                 carry = GenCarry(ms=ms, samp=samp)
 
             # thread `out` through the scan carry
             def body2(state, _):
                 c, o = state
-                ms = elm2_step(tab, accel, h, c.ms)
-                samp, o = _sample_update(c.samp, ms.ys[0], counts, fit_ms, m0, chunk_off, o)
+                if extended:
+                    ms = elm2_step_q(tab, accel, h, c.ms)
+                    y_now = ex.to_f64(tuple(l[0] for l in ms.ys))
+                else:
+                    ms = elm2_step(tab, accel, h, c.ms)
+                    y_now = ms.ys[0]
+                samp, o = _sample_update(c.samp, y_now, counts, fit_ms, m0, chunk_off, o)
                 return (GenCarry(ms=ms, samp=samp), o), None
 
             (carry, out), _ = jax.lax.scan(body2, (carry, out), None, length=n_scan)
@@ -457,6 +483,7 @@ def generate_ephemeris(
     direction: int = +1,
     method: str = "QuinlanTremaine12",
     chunk_steps: int | None = None,
+    precision: str = "f64",
 ) -> Ephemeris:
     """Generate a full system ephemeris over `span` (one direction).
 
@@ -464,7 +491,9 @@ def generate_ephemeris(
     prediction.rs dispatch): fixed-step integration with per-body
     sampling/fitting, assembled into UniformSpline-equivalent containers.
     """
-    prop = NBodyPropagator(state, settings, direction=direction, method=method)
+    prop = NBodyPropagator(
+        state, settings, direction=direction, method=method, precision=precision
+    )
     n_steps = int(round(abs(span.as_seconds()) / prop.dt_s))
     chunk = chunk_steps or min(n_steps, 65536)
 

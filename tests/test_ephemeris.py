@@ -149,3 +149,13 @@ def test_clear_and_splice(sem):
     b3.clear_before(cut)
     assert b3.segment_count == n - n // 2
     assert abs(b3.start_s - cut) < 1e-6
+
+
+def test_extended_precision_generation(sem):
+    """quad-f32 expansion state produces the same splines to mm level (CPU)."""
+    span = Duration.from_days(40.0)
+    e1 = generate_ephemeris(sem.state, sem.settings, span, precision="f64")
+    e2 = generate_ephemeris(sem.state, sem.settings, span, precision="extended")
+    t = sem.state.epoch.as_offset_seconds() + 20 * 86400.0
+    p1, p2 = e1.positions(t), e2.positions(t)
+    assert np.max(np.abs(p1 - p2)) < 1e-3  # < 1 m (f64 path own roundoff)
