@@ -141,15 +141,19 @@ def erk(name: str) -> dict:
     out = {"kind": "erk", "fsal": fsal, "order": order, "a": a, "b": b, "c": c}
     try:
         ebody = find_impl_block("EERKCoefficients", name)
+    except KeyError:
+        return out
+    order_emb = int(re.search(r"ORDER_EMBEDDED:\s*u16\s*=\s*(\d+)", ebody).group(1))
+    try:
         bh = extract_bh(ebody)
-        order_emb = int(re.search(r"ORDER_EMBEDDED:\s*u16\s*=\s*(\d+)", ebody).group(1))
         # E = B - BH except Fehlberg which uses BH - B (sign only).
         sub_dir = re.search(r"BH\[0\]\.const_sub\(Self::B\[0\]\)", ebody)
         e = [(bh_i - b_i) if sub_dir else (b_i - bh_i) for b_i, bh_i in zip(b, bh)]
-        out["order_embedded"] = order_emb
-        out["e"] = e
     except KeyError:
-        pass
+        # E given directly (e.g. Verner98)
+        e = parse_frac_list(extract_const(ebody, "E"))
+    out["order_embedded"] = order_emb
+    out["e"] = e
     return out
 
 
@@ -168,7 +172,7 @@ def erkn(name: str) -> dict:
     for const, key, base in (("EP", "ep", bp), ("EV", "ev", bv)):
         m = re.search(rf"const\s+{const}[^=]*=\s*\{{(.*?)\}};", ebody, re.S)
         blk = m.group(1)
-        if re.search(r"const\\s+BH", blk):
+        if re.search(r"const\s+BH", blk):
             bh = extract_bh(blk)
             out[key] = [b_i - bh_i for b_i, bh_i in zip(base, bh)]
         else:
