@@ -440,3 +440,70 @@ class Universe:
             start=entry.trajectory.start_s,
             end=entry.trajectory.end_s,
         )
+
+
+# ---------------------------------------------------------------------------
+# Interpolation-error audit (ui/windows/debug.rs:182-238)
+# ---------------------------------------------------------------------------
+
+
+def interpolation_error(
+    ephemeris: Ephemeris,
+    state: SolarSystemState,
+    settings: EphemeridesSettings,
+    span: Duration | None = None,
+    method: str = "QuinlanTremaine12",
+    stride: int = 5,
+) -> dict[str, float]:
+    """Max |re-integrated - spline(t)| per body, in metres.
+
+    Re-integrates the system from the scene state at the same dt and compares
+    positions at every `stride`-th step against the fitted splines - the
+    in-app ephemerides-debug audit (capped at min(5 y, bounds) there).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .integrators import get as get_method_tab
+    from .integrators.multistep import elm2_init, elm2_step
+    from .ops import nbody as nbody_ops
+
+    t0 = state.epoch.as_offset_seconds()
+    end = min(
+        ephemeris.end.as_offset_seconds(),
+        t0 + (span or Duration.from_years(5.0)).as_seconds(),
+    )
+    h = settings.dt.as_seconds()
+    n_steps = max(int((end - t0) / h), 0)
+    tab = get_method_tab(method)
+    if n_steps <= tab.order:
+        return {n: 0.0 for n in ephemeris.names}
+
+    mu = jnp.asarray(state.mus())
+    accel = lambda t, y: nbody_ops.pairwise_accel(y, mu)
+    carry = jax.jit(
+        lambda p, v: elm2_init(tab, accel, t0, p, v, h)
+    )(jnp.asarray(state.positions()), jnp.asarray(state.velocities()))
+    steps = n_steps - tab.order
+
+    @jax.jit
+    def run(c):
+        def body(cc, _):
+            cc = elm2_step(tab, accel, h, cc)
+            return cc, (cc.t, cc.ys[0])
+
+        return jax.lax.scan(body, c, None, length=steps)
+
+    _, (ts, ys) = run(carry)
+    ts, ys = np.asarray(ts), np.asarray(ys)
+
+    worst = {n: 0.0 for n in ephemeris.names}
+    for t, y in zip(ts[::stride], ys[::stride]):
+        for i, n in enumerate(ephemeris.names):
+            p = ephemeris[n].position(float(t))
+            if p is None:
+                continue
+            err_m = float(np.linalg.norm(p - y[i])) * 1e3
+            if err_m > worst[n]:
+                worst[n] = err_m
+    return worst

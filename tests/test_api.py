@@ -123,3 +123,31 @@ def test_ship_analysis(uni):
     segs = uni.ship_segments(ship.name)
     assert len(segs) >= 1
     assert any("Orbit" in s.name or "Earth" in s.name for s in segs)
+
+
+def test_interpolation_error_audit(uni):
+    from ephemeris_explorer_tpu.api import interpolation_error
+
+    errs = interpolation_error(
+        uni.ephemeris, uni.state, uni.settings, span=Duration.from_days(30.0)
+    )
+    assert set(errs) == set(uni.names)
+    # the audit's own regime: metres (debug.rs reports metres)
+    assert all(e < 10.0 for e in errs.values()), errs
+
+
+def test_rotation():
+    import numpy as np
+
+    from ephemeris_explorer_tpu.rotation import Rotating, quat_rotate
+
+    rot = Rotating(
+        right_ascension=0.0,
+        declination=np.pi / 2,  # z-axis spin
+        reference_epoch=Epoch.ZERO,
+        reference_rotation=0.0,
+        rotation_rate=np.pi,  # half turn per day
+    )
+    q = rot.at(Epoch.ZERO + Duration.from_days(1.0))
+    v = quat_rotate(q, np.array([1.0, 0.0, 0.0]))
+    np.testing.assert_allclose(v, [-1.0, 0.0, 0.0], atol=1e-12)
