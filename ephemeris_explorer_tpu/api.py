@@ -13,7 +13,9 @@ Rebuilds the reference's app-level compute orchestration as a pure library:
 
 from __future__ import annotations
 
+import logging
 import threading
+import time
 import uuid
 from dataclasses import dataclass, field, replace
 
@@ -154,6 +156,23 @@ class FlightPlan:
 # ---------------------------------------------------------------------------
 
 
+@dataclass(frozen=True)
+class Synchronisation:
+    """Snapshot cadence (prediction.rs:271-341): either merge every N steps
+    or at a wall-clock frequency (converted to a step chunk by the task)."""
+
+    steps: int | None = None
+    hertz: float | None = None
+
+    @classmethod
+    def every_steps(cls, n: int) -> "Synchronisation":
+        return cls(steps=n)
+
+    @classmethod
+    def at_hertz(cls, hz: float) -> "Synchronisation":
+        return cls(hertz=hz)
+
+
 class PredictionTask:
     """Incremental background propagation with progress/pause/cancel.
 
@@ -172,12 +191,17 @@ class PredictionTask:
         lock: threading.Lock,
         total_steps: int,
         chunk_steps: int = 8192,
+        synchronisation: "Synchronisation | None" = None,
     ):
         self._prop = propagator
         self._target = target
         self._lock = lock
         self._total = total_steps
+        if synchronisation is not None and synchronisation.steps:
+            chunk_steps = synchronisation.steps
+        self._sync = synchronisation
         self._chunk = chunk_steps
+        self._chunk_times: list[float] = []
         self._pause = threading.Event()
         self._cancel = threading.Event()
         self._error: BaseException | None = None
@@ -226,7 +250,16 @@ class PredictionTask:
                     self._pause.wait(0.05)
                 n = min(self._chunk, self._total - self._prop.steps_done)
                 first_seg = self._prop._segments_done(self._prop.steps_done)
+                t_chunk = time.perf_counter()
                 res = self._prop.step_chunk(n)
+                dt_chunk = time.perf_counter() - t_chunk
+                self._chunk_times.append(dt_chunk)
+                # Frequency-mode sync: retune the chunk so merges land at the
+                # requested wall-clock cadence (prediction.rs:300-341)
+                if self._sync is not None and self._sync.hertz and dt_chunk > 0:
+                    per_step = dt_chunk / max(n, 1)
+                    want = max(int(1.0 / (self._sync.hertz * per_step)), 1)
+                    self._chunk = max(min(want, 1 << 20), 1)
                 with self._lock:
                     for i, name in enumerate(self._prop.names):
                         coeffs = res[name]
@@ -270,6 +303,9 @@ class ShipEntry:
     last_params: AdaptiveParams | None = None
     transitions: list[tuple[float, int]] = field(default_factory=list)
     apsides: list[events.Apsis] = field(default_factory=list)
+
+
+logger = logging.getLogger("ephemeris_explorer_tpu")
 
 
 class Universe:

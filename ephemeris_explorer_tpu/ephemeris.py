@@ -157,6 +157,29 @@ class BodyEphemeris:
         self.start_s += self.interval_s * idx
         self.coeffs = self.coeffs[idx:]
 
+    def between(self, start, end) -> "BodyEphemeris | None":
+        """Sub-spline covering [start, end] (trajectory.rs:484-502)."""
+        if self.segment_count == 0:
+            return None
+        s = start.as_offset_seconds() if isinstance(start, Epoch) else float(start)
+        e = end.as_offset_seconds() if isinstance(end, Epoch) else float(end)
+        i0 = self._index_exclusive(s - self.start_s)
+        i1 = self._index_exclusive(e - self.start_s)
+        if i0 is None or i1 is None:
+            return None
+        i1 = min(i1, self.segment_count - 1)
+        return BodyEphemeris(
+            start_s=self.start_s + self.interval_s * i0,
+            interval_s=self.interval_s,
+            coeffs=self.coeffs[i0 : i1 + 1].copy(),
+        )
+
+    @property
+    def nbytes(self) -> int:
+        """Heap footprint of the coefficient store (the deepsize analogue
+        surfaced in the ephemerides-debug window, debug.rs:141-146)."""
+        return int(self.coeffs.nbytes)
+
 
 @dataclass
 class Ephemeris:

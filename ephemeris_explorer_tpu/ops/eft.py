@@ -227,3 +227,14 @@ def where(cond, x: TwoFloat, y: TwoFloat) -> TwoFloat:
 def scale_pow2(x: TwoFloat, k) -> TwoFloat:
     """Exact scaling by a power of two."""
     return TwoFloat(x.hi * k, x.lo * k)
+
+
+def add_sloppy(x: TwoFloat, y: TwoFloat) -> TwoFloat:
+    """Cheaper two-float add (11 flops): error ~3 ulp^2 instead of ~1.
+
+    Right for reductions over similar-magnitude terms (e.g. per-pair force
+    contributions) where the accurate variant's extra error pass buys nothing.
+    """
+    s, e = two_sum(x.hi, y.hi)
+    e = e + (x.lo + y.lo)
+    return TwoFloat(*quick_two_sum(s, e))

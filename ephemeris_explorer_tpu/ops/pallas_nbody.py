@@ -47,7 +47,7 @@ def _dd_tree_sum(x: TwoFloat, axis: int = -1) -> TwoFloat:
                      jax.lax.slice_in_dim(lo, 0, m, axis=axis))
         b = TwoFloat(jax.lax.slice_in_dim(hi, m, 2 * m, axis=axis),
                      jax.lax.slice_in_dim(lo, m, 2 * m, axis=axis))
-        s = eft.add(a, b)
+        s = eft.add_sloppy(a, b)
         hi, lo = s.hi, s.lo
     return TwoFloat(hi, lo)
 
