@@ -410,12 +410,15 @@ def elm2_init_q(tab: ELMTableau, accel, t0, y0, dy0, h) -> ELM2CarryQ:
     )
 
 
-def elm2_step_q(tab: ELMTableau, accel, h, carry: ELM2CarryQ) -> ELM2CarryQ:
+def elm2_step_q(
+    tab: ELMTableau, accel, h, carry: ELM2CarryQ, accel_limbs=None
+) -> ELM2CarryQ:
     """One multistep step on the expansion state (one force evaluation).
 
     `accel(t, y_f64)` is evaluated at the base-precision rounding of the
-    expansion position (force noise is the surviving error source: ~2^-48
-    relative on TPU, which random-walks to well under 1 km over 100 years).
+    expansion position.  When `accel_limbs(t, (l0, l1, l2))` is given (the
+    3-limb Pallas kernel), the force sees error-free position differences -
+    the remaining noise source for close moon pairs at century scale.
     """
     assert all(abs(c) in (0.0, 1.0, 2.0) for c in tab.c_y), tab.name
     sum1 = _exp_wsum_alpha(tab.c_y, carry.ys)
@@ -423,7 +426,10 @@ def elm2_step_q(tab: ELMTableau, accel, h, carry: ELM2CarryQ) -> ELM2CarryQ:
     y_new = ex.add(sum1, ex.from_f64(sum2 * (h * h / tab.beta_d)))
     t_new = carry.t + h
 
-    ddy_new = accel(t_new, ex.to_f64(y_new))
+    if accel_limbs is not None:
+        ddy_new = accel_limbs(t_new, (y_new[0], y_new[1], y_new[2]))
+    else:
+        ddy_new = accel(t_new, ex.to_f64(y_new))
 
     ddys_new = jnp.concatenate([ddy_new[None], carry.ddys[: tab.order - 1]])
     vel_sum = _f64_wsum(tab.cowell_beta_n, ddys_new)

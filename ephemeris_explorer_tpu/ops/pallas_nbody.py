@@ -204,3 +204,127 @@ def pairwise_accel(pos, mu_hi, mu_lo, interpret: bool = False, **tiles):
     ph, plo = split_f64(pos, transpose=True)      # (3, N)
     ah, al = pairwise_accel_df64(ph, plo, mu_hi, mu_lo, interpret=interpret, **tiles)
     return combine_f64(ah, al)                    # (N, 3)
+
+
+# ---------------------------------------------------------------------------
+# Three-limb variant: error-free position differences
+# ---------------------------------------------------------------------------
+#
+# With two-limb inputs the pair displacement d = p_j - p_i inherits the
+# POSITION rounding (~|p| 2^-48), which for close pairs (Phobos-Mars:
+# |d|/|p| ~ 5e-5) is a ~1e-10 RELATIVE error on d - the dominant noise in
+# century-scale moon tracks.  Taking a third limb and differencing with
+# error-free transforms makes d accurate to ~2^-48 of |d| itself.
+
+
+def _accel_kernel3(
+    p0_ref, p1_ref, p2_ref, mu_hi_ref, mu_lo_ref,
+    r0_ref, r1_ref, r2l_ref,
+    out_hi_ref, out_lo_ref,
+    *, n_bodies: int, tile_rows: int, tile_cols: int,
+):
+    tr, tc = tile_rows, tile_cols
+    n_col_tiles = n_bodies // tc
+    i0 = jax.lax.mul(pl.program_id(0), jnp.int32(tr))
+    row_ids = jax.lax.add(jax.lax.broadcasted_iota(jnp.int32, (tr, 1), 0), i0)
+
+    rows0 = r0_ref[:, :]  # (TR, 3) limb arrays, rows in sublanes
+    rows1 = r1_ref[:, :]
+    rows2 = r2l_ref[:, :]
+
+    def col_tile(k, acc):
+        c0 = jax.lax.mul(k, jnp.int32(tc))
+        col_ids = jax.lax.add(jax.lax.broadcasted_iota(jnp.int32, (1, tc), 1), c0)
+        self_mask = row_ids == col_ids
+
+        d = []
+        for c in range(3):
+            pj0 = p0_ref[c, pl.ds(c0, tc)][None, :]
+            pj1 = p1_ref[c, pl.ds(c0, tc)][None, :]
+            pj2 = p2_ref[c, pl.ds(c0, tc)][None, :]
+            pi0 = rows0[:, c][:, None]
+            pi1 = rows1[:, c][:, None]
+            pi2 = rows2[:, c][:, None]
+            s0, e0 = eft.two_sum(pj0, -pi0)
+            s1, e1 = eft.two_sum(pj1, -pi1)
+            s2 = pj2 - pi2
+            dd = eft.add_sloppy(TwoFloat(s0, e0), TwoFloat(s1, e1))
+            d.append(eft.add_float(dd, s2))
+
+        r2 = eft.add(eft.add(eft.mul(d[0], d[0]), eft.mul(d[1], d[1])),
+                     eft.mul(d[2], d[2]))
+        one = jnp.ones_like(r2.hi)
+        r2 = eft.where(self_mask, TwoFloat(one, jnp.zeros_like(one)), r2)
+
+        u = _rsqrt_df(r2)
+        u3 = eft.mul(eft.mul(u, u), u)
+        mu = TwoFloat(mu_hi_ref[0, pl.ds(c0, tc)][None, :],
+                      mu_lo_ref[0, pl.ds(c0, tc)][None, :])
+        w = eft.mul(u3, mu)
+        zero = jnp.zeros_like(w.hi)
+        w = eft.where(self_mask, TwoFloat(zero, zero), w)
+
+        out = []
+        for c in range(3):
+            term = eft.mul(w, d[c])
+            s = _dd_tree_sum(term, axis=1)
+            out.append(eft.add(acc[c], s))
+        return tuple(out)
+
+    acc0 = tuple(
+        TwoFloat(jnp.zeros((tr, 1), jnp.float32), jnp.zeros((tr, 1), jnp.float32))
+        for _ in range(3)
+    )
+    acc = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_col_tiles), col_tile, acc0)
+    for c in range(3):
+        out_hi_ref[:, c : c + 1] = acc[c].hi
+        out_lo_ref[:, c : c + 1] = acc[c].lo
+
+
+@partial(jax.jit, static_argnames=("tile_rows", "tile_cols", "interpret"))
+def pairwise_accel_limbs(
+    l0, l1, l2, mu_hi, mu_lo,
+    tile_rows: int = 256, tile_cols: int = 1024, interpret: bool = False,
+):
+    """O(N^2) acceleration from 3-limb f32 positions.
+
+    l0/l1/l2: (N, 3) f32 limb arrays (leading limbs of an f32 expansion,
+    e.g. :func:`..ops.expansion.hi_lo` plus the third limb).
+    mu_hi/mu_lo: (1, N) split gravitational parameters.
+    Returns f64 (N, 3) accelerations.
+    """
+    n = l0.shape[0]
+    tile_cols = min(tile_cols, n)
+    tile_rows = min(tile_rows, n)
+    assert n % tile_rows == 0 and n % tile_cols == 0
+
+    kernel = partial(
+        _accel_kernel3, n_bodies=n, tile_rows=tile_rows, tile_cols=tile_cols
+    )
+    grid = (n // tile_rows,)
+    lane = [x.T for x in (l0, l1, l2)]  # (3, N) lane-major views
+    with jax.enable_x64(False):
+        ah, al = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((3, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_rows, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_rows, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_rows, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((tile_rows, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_rows, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n, 3), jnp.float32),
+                jax.ShapeDtypeStruct((n, 3), jnp.float32),
+            ],
+            interpret=interpret,
+        )(lane[0], lane[1], lane[2], mu_hi, mu_lo, l0, l1, l2)
+    return combine_f64(ah, al)
