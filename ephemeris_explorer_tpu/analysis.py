@@ -210,3 +210,67 @@ def closest_separation(
             left = m1
         else:
             right = m2
+
+
+@dataclass
+class RelativeTrajectory:
+    """Difference of two trajectories (trajectory.rs:187-335).
+
+    Bounds are the intersection; evaluation subtracts the reference's state.
+    Works with any pair of objects exposing position/state_vector/start_s/
+    end_s (BodyEphemeris, HermiteTrajectory).
+    """
+
+    trajectory: object
+    reference: object | None = None
+
+    @property
+    def start_s(self) -> float:
+        if self.reference is None:
+            return self.trajectory.start_s
+        return max(self.trajectory.start_s, self.reference.start_s)
+
+    @property
+    def end_s(self) -> float:
+        if self.reference is None:
+            return self.trajectory.end_s
+        return min(self.trajectory.end_s, self.reference.end_s)
+
+    def contains(self, t: float) -> bool:
+        return self.start_s <= t <= self.end_s
+
+    def position(self, t):
+        p = self.trajectory.position(t)
+        if p is None:
+            return None
+        if self.reference is None:
+            return p
+        q = self.reference.position(t)
+        if q is None:
+            return None
+        return np.asarray(p) - np.asarray(q)
+
+    def state_vector(self, t):
+        a = self.trajectory.state_vector(t)
+        if a is None:
+            return None
+        if self.reference is None:
+            return a
+        b = self.reference.state_vector(t)
+        if b is None:
+            return None
+        return np.asarray(a[0]) - np.asarray(b[0]), np.asarray(a[1]) - np.asarray(b[1])
+
+    def closest_separation(
+        self, precision: float = 1.0, max_iterations: int = 100,
+        left: float | None = None, right: float | None = None,
+    ):
+        """Ternary-search closest approach (trajectory.rs:208-267)."""
+        lo = self.start_s if left is None else max(left, self.start_s)
+        hi = self.end_s if right is None else min(right, self.end_s)
+        if self.reference is None:
+            return None
+        return closest_separation(
+            self.trajectory.position, self.reference.position, lo, hi,
+            precision=precision, max_iterations=max_iterations,
+        )

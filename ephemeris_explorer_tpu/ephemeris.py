@@ -73,6 +73,10 @@ class BodyEphemeris:
         return self.interval_s * self.segment_count
 
     @property
+    def end_s(self) -> float:
+        return self.start_s + self.span_s
+
+    @property
     def start(self) -> Epoch:
         return Epoch.from_offset_seconds(self.start_s)
 

@@ -188,3 +188,30 @@ def write_state_json(
     path = Path(out_dir) / f"solar_system_{jd}.json"
     path.write_text(state_to_json(state))
     return path
+
+
+def _cli(argv=None) -> int:
+    """solar_system_json CLI equivalent (solar_system_json/src/main.rs:62-83).
+
+    Usage: python -m ephemeris_explorer_tpu.io.horizons "1950-01-01 00:00:00" \
+               Sun Mercury Venus Earth Moon Mars [--out DIR] [--cache DIR]
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(description=_cli.__doc__)
+    p.add_argument("epoch", help='TAI epoch "YYYY-MM-DD HH:MM:SS"')
+    p.add_argument("bodies", nargs="+", help="NAIF body names (see naif_ids.py)")
+    p.add_argument("--out", default=".")
+    p.add_argument("--cache", default=None)
+    p.add_argument("--offline", action="store_true")
+    args = p.parse_args(argv)
+    path = write_state_json(
+        args.bodies, Epoch.parse(args.epoch), out_dir=args.out,
+        cache_dir=args.cache, offline=args.offline,
+    )
+    print(path)
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(_cli())

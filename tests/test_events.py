@@ -132,3 +132,19 @@ def test_closest_separation(ctx):
         precision=1.0,
     )
     assert t is not None and traj.start_s <= t <= traj.end_s
+
+
+def test_relative_trajectory(ctx):
+    from ephemeris_explorer_tpu.analysis import RelativeTrajectory
+
+    sc, eph, soi = ctx
+    rel = RelativeTrajectory(eph["Moon"], eph["Earth"])
+    t = rel.start_s + (rel.end_s - rel.start_s) / 2
+    p = rel.position(t)
+    assert 3.4e5 < np.linalg.norm(p) < 4.2e5  # Moon-Earth distance
+    pv = rel.state_vector(t)
+    assert np.linalg.norm(pv[1]) < 1.2e0  # relative speed ~1 km/s
+    tmin = rel.closest_separation(precision=1.0)
+    assert tmin is not None and rel.contains(tmin)
+    # bounds are the intersection
+    assert rel.start_s == max(eph["Moon"].start_s, eph["Earth"].start_s)
