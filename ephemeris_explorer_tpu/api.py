@@ -243,6 +243,12 @@ class PredictionTask:
 
     # -- worker ----------------------------------------------------------
     def _run(self) -> None:
+        t_task = time.perf_counter()
+        logger.info(
+            "prediction task started: %s steps (%s)",
+            self._total - self._prop.steps_done,
+            "backward" if self._prop.spec.backward else "forward",
+        )
         try:
             backward = self._prop.spec.backward
             while self._prop.steps_done < self._total and not self._cancel.is_set():
@@ -286,6 +292,13 @@ class PredictionTask:
                             body.append(piece)
         except BaseException as e:  # noqa: BLE001 - surfaced on join()
             self._error = e
+        finally:
+            # wall-clock task timing (prediction.rs:418-419,445)
+            logger.info(
+                "prediction task finished in %.2fs (%d chunks)",
+                time.perf_counter() - t_task,
+                len(self._chunk_times),
+            )
 
 
 # ---------------------------------------------------------------------------

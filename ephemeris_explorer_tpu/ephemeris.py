@@ -220,6 +220,11 @@ class Ephemeris:
             out.append(p)
         return np.stack(out)
 
+    @property
+    def nbytes(self) -> int:
+        """Total coefficient heap footprint (debug-window memory stat)."""
+        return sum(b.nbytes for b in self.bodies.values())
+
     def pack(self) -> "PackedEphemeris":
         starts = np.array([self.bodies[n].start_s for n in self.names])
         intervals = np.array([self.bodies[n].interval_s for n in self.names])

@@ -94,6 +94,23 @@ def carry_sharding(mesh: Mesh, ensemble: bool) -> ELM2Carry:
     )
 
 
+def _ensemble_accel(mus):
+    """Per-ensemble force: Pallas pair kernel on TPU (no O(N^2) HBM
+    materialisation - a vmapped jnp kernel at 16 x 4096 bodies would need
+    3 GB temporaries per elementwise op), fused jnp elsewhere."""
+    mu_dev = jnp.asarray(mus)
+    if jax.default_backend() in ("tpu", "axon"):
+        from ..ops.pallas_nbody import pairwise_accel as pallas_accel, split_f64
+
+        mu_hi, mu_lo = split_f64(mu_dev.reshape(1, -1))
+
+        def accel(t, y):
+            return pallas_accel(y, mu_hi, mu_lo)
+
+        return accel
+    return lambda t, y: nbody.pairwise_accel(y, mu_dev)
+
+
 def make_sharded_ensemble_step(mesh: Mesh, tab, mus, h):
     """One QT12 step for an (E, ...) ensemble, sharded (E->data, N->model).
 
@@ -101,10 +118,7 @@ def make_sharded_ensemble_step(mesh: Mesh, tab, mus, h):
     the all-gather for the pair interaction over the "model" axis and keeps
     the ensemble axis fully parallel.
     """
-    mu_dev = jax.device_put(mus, NamedSharding(mesh, P()))
-
-    def accel(t, y):
-        return nbody.pairwise_accel(y, mu_dev)
+    accel = _ensemble_accel(mus)
 
     def step(carry: ELM2Carry) -> ELM2Carry:
         return jax.vmap(lambda c: elm2_step(tab, accel, h, c))(carry)
@@ -115,10 +129,7 @@ def make_sharded_ensemble_step(mesh: Mesh, tab, mus, h):
 
 def init_ensemble_carry(mesh: Mesh, tab, mus, t0, pos, vel, h) -> ELM2Carry:
     """Startup for an (E, N, 3) ensemble; runs the starter vmapped."""
-    mu_dev = jnp.asarray(mus)
-
-    def accel(t, y):
-        return nbody.pairwise_accel(y, mu_dev)
+    accel = _ensemble_accel(mus)
 
     def init_one(p, v):
         return elm2_init(tab, accel, t0, p, v, h)
