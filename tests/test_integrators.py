@@ -150,3 +150,25 @@ def test_qt12_matches_high_accuracy_truth():
     truth = st.y[0]
     err = float(jnp.max(jnp.linalg.norm(carry.ys[0] - truth, axis=-1)))
     assert err < 1e-6 * r, err
+
+
+@pytest.mark.parametrize("name", ["AdamsBashforth2", "AdamsBashforth4", "AdamsBashforth6"])
+def test_elm1_adams_bashforth(name):
+    """First-order multistep on y' = -y: converges at the expected order."""
+    tab = get(name)
+    f = lambda t, y: -y
+
+    def run(steps):
+        h = 10.0 / steps
+        carry = multistep.elm1_init(tab, f, 0.0, jnp.asarray(1.0), h)
+
+        def body(c, _):
+            return multistep.elm1_step(tab, f, h, c), None
+
+        carry, _ = jax.lax.scan(body, carry, None, length=steps - tab.order)
+        return abs(float(carry.ys[0]) - math.exp(-10.0))
+
+    e1, e2 = run(400), run(800)
+    assert e1 < 1e-4
+    # halving h reduces error by ~2^order
+    assert e1 / max(e2, 1e-16) > 2 ** (tab.order - 1)
