@@ -238,3 +238,32 @@ def add_sloppy(x: TwoFloat, y: TwoFloat) -> TwoFloat:
     s, e = two_sum(x.hi, y.hi)
     e = e + (x.lo + y.lo)
     return TwoFloat(*quick_two_sum(s, e))
+
+
+def two_sqr(a):
+    """p + err == a * a exactly (~10 flops: one split, fewer cross terms)."""
+    p = a * a
+    hi, lo = split(a)
+    err = ((hi * hi - p) + 2.0 * (hi * lo)) + lo * lo
+    return p, err
+
+
+def sqr(x: TwoFloat) -> TwoFloat:
+    """x * x with the squaring shortcut (~16 flops vs mul's ~22)."""
+    p, e = two_sqr(x.hi)
+    e = e + 2.0 * (x.hi * x.lo)
+    return TwoFloat(*quick_two_sum(p, e))
+
+
+def two_prod_presplit(a, a_hi, a_lo, b, b_hi, b_lo):
+    """two_prod with both operands' Dekker splits supplied (shared splits)."""
+    p = a * b
+    err = ((a_hi * b_hi - p) + a_hi * b_lo + a_lo * b_hi) + a_lo * b_lo
+    return p, err
+
+
+def mul_presplit(x: TwoFloat, xs, y: TwoFloat, ys) -> TwoFloat:
+    """x * y where xs/ys are the precomputed splits of x.hi / y.hi."""
+    p, e = two_prod_presplit(x.hi, xs[0], xs[1], y.hi, ys[0], ys[1])
+    e = e + (x.hi * y.lo + x.lo * y.hi)
+    return TwoFloat(*quick_two_sum(p, e))

@@ -36,6 +36,14 @@ except Exception:  # pragma: no cover
     HAVE_PALLAS = False
 
 
+def _sqr_presplit(x: TwoFloat, xs) -> TwoFloat:
+    """x*x with a precomputed split of x.hi (shared with other products)."""
+    p = x.hi * x.hi
+    err = ((xs[0] * xs[0] - p) + 2.0 * (xs[0] * xs[1])) + xs[1] * xs[1]
+    err = err + 2.0 * (x.hi * x.lo)
+    return TwoFloat(*eft.quick_two_sum(p, err))
+
+
 def _dd_tree_sum(x: TwoFloat, axis: int = -1) -> TwoFloat:
     """Binary-tree two-float reduction along `axis` (power-of-two length)."""
     n = x.hi.shape[axis]
@@ -56,12 +64,19 @@ def _rsqrt_df(x: TwoFloat, refinements: int = 1) -> TwoFloat:
     """Two-float rsqrt: f32 seed + Newton refinements in two-float arithmetic.
 
     One refinement takes the 24-bit seed to ~47 bits, matching the working
-    precision; a second costs ~30% more kernel flops for ~1 extra bit.
+    precision.  The first iteration exploits the seed's zero low part:
+    y0^2 is a single errorless square and y0 * corr a float-by-TwoFloat
+    product (saves two full dd multiplies per pair).
     """
-    y = TwoFloat(jax.lax.rsqrt(x.hi), jnp.zeros_like(x.hi))
-    for _ in range(refinements):
-        # y <- y * (1.5 - 0.5 * x * y^2)
-        xy2 = eft.mul(x, eft.mul(y, y))
+    y0 = jax.lax.rsqrt(x.hi)
+    # first refinement, specialised for lo = 0
+    y0sq = TwoFloat(*eft.two_sqr(y0))
+    xy2 = eft.mul(x, y0sq)
+    corr = eft.add_float(eft.mul_float(xy2, jnp.float32(-0.5)), jnp.float32(1.5))
+    y = TwoFloat(*eft.two_prod(y0, corr.hi))
+    y = TwoFloat(*eft.quick_two_sum(y.hi, y.lo + y0 * corr.lo))
+    for _ in range(refinements - 1):
+        xy2 = eft.mul(x, eft.sqr(y))
         corr = eft.add_float(eft.mul_float(xy2, jnp.float32(-0.5)), jnp.float32(1.5))
         y = eft.mul(y, corr)
     return y
@@ -102,22 +117,26 @@ def _accel_kernel(
             pi = TwoFloat(rows_hi[:, c][:, None], rows_lo[:, c][:, None])  # (TR, 1)
             d.append(eft.sub(pj, pi))
 
-        r2 = eft.add(eft.add(eft.mul(d[0], d[0]), eft.mul(d[1], d[1])),
-                     eft.mul(d[2], d[2]))
+        d_splits = [eft.split(dc.hi) for dc in d]
+        r2 = eft.add(
+            eft.add(_sqr_presplit(d[0], d_splits[0]), _sqr_presplit(d[1], d_splits[1])),
+            _sqr_presplit(d[2], d_splits[2]),
+        )
         one = jnp.ones_like(r2.hi)
         r2 = eft.where(self_mask, TwoFloat(one, jnp.zeros_like(one)), r2)
 
         u = _rsqrt_df(r2)                        # 1/r
-        u3 = eft.mul(eft.mul(u, u), u)           # 1/r^3
+        u3 = eft.mul(eft.sqr(u), u)              # 1/r^3
         mu = TwoFloat(mu_hi_ref[0, pl.ds(c0, tc)][None, :],
                       mu_lo_ref[0, pl.ds(c0, tc)][None, :])
         w = eft.mul(u3, mu)
         zero = jnp.zeros_like(w.hi)
         w = eft.where(self_mask, TwoFloat(zero, zero), w)
+        w_split = eft.split(w.hi)
 
         out = []
         for c in range(3):
-            term = eft.mul(w, d[c])              # (TR, TC)
+            term = eft.mul_presplit(w, w_split, d[c], d_splits[c])  # (TR, TC)
             s = _dd_tree_sum(term, axis=1)       # (TR, 1)
             out.append(eft.add(acc[c], s))
         return tuple(out)
