@@ -556,3 +556,60 @@ def interpolation_error(
             if err_m > worst[n]:
                 worst[n] = err_m
     return worst
+
+
+class ExplorerSession:
+    """The running-app loop, headless: clock + universe + auto-extension.
+
+    Ties together SimulationClock ticking (simulation.rs:117-121), the
+    auto-extender (auto_extend.rs:182-202, deduplicated against in-flight
+    tasks :105-129) and flight-plan re-propagation when the celestial context
+    grows (trigger_on_trajectory_updates, flight_plan.rs:364-393).
+    """
+
+    def __init__(self, universe: Universe, time_scale: float = 1.0):
+        from .simulation import SimulationClock
+
+        self.universe = universe
+        self.clock = SimulationClock(
+            current=universe.state.epoch, time_scale=time_scale
+        )
+        self._sync_bounds()
+        self._extend_task: PredictionTask | None = None
+
+    def _sync_bounds(self) -> None:
+        bodies = [b for b in self.universe.ephemeris.bodies.values() if b.segment_count]
+        if bodies:
+            self.clock.sync_bounds(bodies)
+
+    def tick(self, real_dt: float):
+        """Advance one frame; returns {name: (pos, vel)} at the new epoch."""
+        from .simulation import evaluate_scene
+
+        self.clock.advance(real_dt)
+
+        # finalise finished extensions FIRST: bounds grow, dependent ships
+        # re-plan (trigger_on_trajectory_updates semantics)
+        if self._extend_task is not None and not self._extend_task.in_progress:
+            self._extend_task.join()
+            self._extend_task = None
+            self._sync_bounds()
+            for name, entry in self.universe.ships.items():
+                end = entry.plan.end.as_offset_seconds()
+                covered = (
+                    entry.trajectory is not None
+                    and entry.trajectory.end_s >= end - 1.0
+                )
+                if not covered and self.universe.ephemeris.end.as_offset_seconds() > (
+                    entry.trajectory.end_s if entry.trajectory is not None else -np.inf
+                ):
+                    self.universe.replan(name)
+
+        # auto-extension, deduplicated against the in-flight task
+        req = self.clock.auto_extend_span()
+        if req is not None and self._extend_task is None:
+            span, direction = req
+            self._extend_task = self.universe.extend(span, direction, background=True)
+
+        ships = {n: e.trajectory for n, e in self.universe.ships.items()}
+        return evaluate_scene(self.universe.ephemeris, ships, self.clock.current)

@@ -151,3 +151,19 @@ def test_rotation():
     q = rot.at(Epoch.ZERO + Duration.from_days(1.0))
     v = quat_rotate(q, np.array([1.0, 0.0, 0.0]))
     np.testing.assert_allclose(v, [-1.0, 0.0, 0.0], atol=1e-12)
+
+
+def test_explorer_session_tick(uni):
+    from ephemeris_explorer_tpu.api import ExplorerSession
+
+    uni.spawn_ship(uni.scene.ships[0])
+    sess = ExplorerSession(uni, time_scale=86400.0)  # 1 day per real second
+    frame = sess.tick(0.5)
+    assert "Earth" in frame and "Earth Station" in frame
+    # drive the clock to the edge: an auto-extension request fires
+    sess.clock.set_time(sess.clock.end)
+    sess.tick(0.1)
+    assert sess._extend_task is not None
+    sess._extend_task.join(timeout=300)
+    sess.tick(0.1)  # merge the extension
+    assert sess.clock.end.as_offset_seconds() > uni.state.epoch.as_offset_seconds() + 39 * 86400
