@@ -17,17 +17,17 @@ import logging
 import threading
 import time
 import uuid
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, field
 
 import numpy as np
 
 from . import analysis, events
-from .ephemeris import BodyEphemeris, Ephemeris, NBodyPropagator, merge_bidirectional
+from .ephemeris import BodyEphemeris, Ephemeris, NBodyPropagator
 from .ftime import Duration, Epoch
 from .integrators.adaptive import AdaptiveParams
 from .integrators.methods import ADAPTIVE_METHODS, get as get_method
 from .io import scene as scene_io
-from .io.scene import DIV, EphemeridesSettings, Scene, Ship, ShipBurn, SolarSystemState
+from .io.scene import EphemeridesSettings, Scene, Ship, ShipBurn, SolarSystemState
 from .spacecraft import (
     HermiteTrajectory,
     Timeline,

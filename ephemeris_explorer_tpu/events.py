@@ -25,7 +25,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .ephemeris import PackedEphemeris
-from .ftime import Epoch
 
 ASCENDING = +1    # f goes - to +
 DESCENDING = -1   # f goes + to -

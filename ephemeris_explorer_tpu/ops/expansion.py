@@ -26,7 +26,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .eft import quick_two_sum, two_sum
+from .eft import two_sum
 
 K = 4  # limbs
 

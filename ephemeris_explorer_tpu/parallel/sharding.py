@@ -17,8 +17,6 @@ an explicit shard_map path (manual all_gather) are provided.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -32,7 +32,7 @@ from .ephemeris import PackedEphemeris
 from .ftime import Epoch
 from .integrators import adaptive
 from .integrators.adaptive import AdaptiveParams, AdaptiveState
-from .integrators.methods import ERKNGTableau, ERKTableau, get as get_method
+from .integrators.methods import ERKNGTableau, get as get_method
 from .io.scene import Ship, ShipBurn
 
 EPOCH_MIN = -1.0e300
