@@ -32,7 +32,6 @@ from .spacecraft import (
     HermiteTrajectory,
     Timeline,
     build_timeline,
-    propagate,
     ship_params,
 )
 
@@ -452,18 +451,19 @@ class Universe:
             else:
                 sv = got
 
-        r = propagate(
-            tab,
+        from .spacecraft import PropagationResult, _jitted_propagate_batch
+        import jax as _jax
+
+        fn = _jitted_propagate_batch(plan.method, plan.params, max_knots)
+        r = fn(
             packed,
-            timeline,
-            t0,
-            jnp.asarray(sv[0]),
-            jnp.asarray(sv[1]),
-            plan.end.as_offset_seconds(),
-            plan.params,
-            max_knots=max_knots,
+            _jax.tree_util.tree_map(lambda x: x[None], timeline),
+            jnp.asarray([t0]),
+            jnp.asarray(sv[0])[None],
+            jnp.asarray(sv[1])[None],
+            jnp.asarray([plan.end.as_offset_seconds()]),
         )
-        piece = HermiteTrajectory.from_result(r)
+        piece = HermiteTrajectory.from_result(PropagationResult(*(x[0] for x in r)))
         if entry.trajectory is None or len(entry.trajectory.ts) == 0 or t0 <= entry.trajectory.start_s:
             entry.trajectory = piece
         else:

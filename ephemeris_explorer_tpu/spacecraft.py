@@ -470,21 +470,20 @@ def propagate_ship(
     names = ephemeris.names if not isinstance(ephemeris, PackedEphemeris) else None
     index = {n: i for i, n in enumerate(names)} if names else None
     tl = build_timeline(ship.burns, index)
-    tab = get_method(ship.integrator)
     params = ship_params(ship)
     end = (until or ship.end).as_offset_seconds()
-    r = propagate(
-        tab,
+    fn = _jitted_propagate_batch(ship.integrator, params, max_knots)
+    r = fn(
         packed,
-        tl,
-        ship.start.as_offset_seconds(),
-        jnp.asarray(ship.position),
-        jnp.asarray(ship.velocity),
-        end,
-        params,
-        max_knots=max_knots,
+        jax.tree_util.tree_map(lambda x: x[None], tl),
+        jnp.asarray([ship.start.as_offset_seconds()]),
+        jnp.asarray(ship.position)[None],
+        jnp.asarray(ship.velocity)[None],
+        jnp.asarray([end]),
     )
-    return HermiteTrajectory.from_result(r)
+    return HermiteTrajectory.from_result(
+        PropagationResult(*(x[0] for x in r))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -536,13 +535,32 @@ def propagate_batch(
     return jax.vmap(one)(timelines, t0s, pos0s, vel0s, end_ts)
 
 
+# jit cache for batched propagation: re-jitting a fresh closure per call
+# would force a full (remote) recompilation every time
+_PROPAGATE_JIT_CACHE: dict = {}
+
+
+def _jitted_propagate_batch(method: str, params: AdaptiveParams, max_knots: int):
+    key = (method, params, max_knots)
+    fn = _PROPAGATE_JIT_CACHE.get(key)
+    if fn is None:
+        tab = get_method(method)
+
+        @jax.jit
+        def fn(packed, tl, t0, p0, v0, et):
+            return propagate_batch(
+                tab, packed, tl, t0, p0, v0, et, params, max_knots=max_knots
+            )
+
+        _PROPAGATE_JIT_CACHE[key] = fn
+    return fn
+
+
 def propagate_ships(ephemeris, ships, until=None, max_knots: int = 16384):
     """Propagate a fleet of Ship configs, grouping by (integrator, tolerance).
 
     Returns {ship.name: HermiteTrajectory}.
     """
-    from .integrators.methods import get as get_method
-
     packed = ephemeris.pack() if not isinstance(ephemeris, PackedEphemeris) else ephemeris
     names = ephemeris.names
     index = {n: i for i, n in enumerate(names)}
@@ -553,7 +571,6 @@ def propagate_ships(ephemeris, ships, until=None, max_knots: int = 16384):
 
     out = {}
     for (method, tol), group in groups.items():
-        tab = get_method(method)
         params = ship_params(group[0])
         tls = stack_timelines([build_timeline(s.burns, index) for s in group])
         t0s = jnp.asarray([s.start.as_offset_seconds() for s in group])
@@ -565,11 +582,8 @@ def propagate_ships(ephemeris, ships, until=None, max_knots: int = 16384):
                 for s in group
             ]
         )
-        r = jax.jit(
-            lambda tl, t0, p0, v0, et: propagate_batch(
-                tab, packed, tl, t0, p0, v0, et, params, max_knots=max_knots
-            )
-        )(tls, t0s, p0s, v0s, ends)
+        fn = _jitted_propagate_batch(method, params, max_knots)
+        r = fn(packed, tls, t0s, p0s, v0s, ends)
         for i, s in enumerate(group):
             out[s.name] = HermiteTrajectory.from_result(
                 PropagationResult(*(x[i] for x in r))
