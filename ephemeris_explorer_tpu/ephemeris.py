@@ -299,38 +299,56 @@ class SampleState(NamedTuple):
 
 
 class GenCarry(NamedTuple):
-    ms: ELM2Carry
+    ms: object            # ELM2Carry | ELM2CarryQ
     samp: SampleState
 
 
-def _sample_update(samp: SampleState, y, counts, fit_ms, m0, chunk_off, out):
-    """Vectorised per-step sampling / segment-fit / scatter.
+def _fit_chunk_pass(all_ys, samp, counts, fit_ms, n0, n_new, chunk_off, out):
+    """Post-scan sampling + fitting for one chunk.
 
-    y: (N, 3) current positions (after the step).  counts: (N,) int64.
-    fit_ms: (N, MAX_COEFFS, 9).  m0: (N,) completed segments before this
-    chunk.  chunk_off: (N,) flat output offsets.  out: (TOT, MAX_COEFFS, 3).
+    all_ys: (L, N, 3) positions emitted by the chunk's steps (step n0+i+1 at
+    row i; n0 is a traced scalar).  The per-body sample ring carries the <= 8
+    samples preceding the chunk.  Segment SAMPLE COUNTS are static (baked into
+    the jit key via `n_new`); sample positions are gathered with dynamic
+    indices from the chunk rows or the ring, fitted with the precomputed
+    least-squares matrices in one einsum per body, and written at static
+    offsets.  Replaces a per-step scatter solout with one dense pass.
     """
-    n = samp.n + 1
-    nb = counts.shape[0]
-    k = n // counts
-    due = (n % counts) == 0
-    slot = (k % DIV).astype(jnp.int32)
-    complete = due & (k > 0) & (slot == 0)
-
-    # When `complete`, ring slots 0..7 hold samples tau=0..7/8 of the segment
-    # and y is the tau=1 sample (shared with the next segment's tau=0).
-    samples9 = jnp.concatenate([samp.ring, y[:, None, :]], axis=1)  # (N, 9, 3)
-    coeffs = jnp.einsum("nds,nsc->ndc", fit_ms, samples9)
-
-    m_local = k // DIV - 1 - m0
-    big = jnp.iinfo(jnp.int32).max
-    idx = jnp.where(complete, chunk_off + m_local, big)
-    out = out.at[idx].set(coeffs, mode="drop")
-
-    rows = jnp.arange(nb)
-    cur = samp.ring[rows, slot]
-    ring = samp.ring.at[rows, slot].set(jnp.where(due[:, None], y, cur))
-    return SampleState(ring=ring, n=n), out
+    L = all_ys.shape[0]
+    nb = len(counts)
+    n0 = jnp.asarray(n0, jnp.int64)
+    new_ring = samp.ring
+    for b in range(nb):
+        cb = int(counts[b])
+        nn = int(n_new[b])
+        if nn > 0:
+            m0 = (n0 // cb) // DIV
+            k_idx = DIV * m0 + jnp.arange(DIV * nn + 1)         # sample indices
+            steps = k_idx * cb                                   # global steps
+            in_chunk = steps > n0
+            chunk_rows = jnp.clip(steps - n0 - 1, 0, L - 1)
+            from_chunk = all_ys[chunk_rows, b]                   # (S, 3)
+            from_ring = samp.ring[b, k_idx % DIV]                # (S, 3)
+            samples = jnp.where(in_chunk[:, None], from_chunk, from_ring)
+            # window segments: (nn, 9) static gather
+            win = np.arange(nn)[:, None] * DIV + np.arange(DIV + 1)[None, :]
+            seg_samples = samples[jnp.asarray(win)]              # (nn, 9, 3)
+            coeffs = jnp.einsum("ds,msc->mdc", fit_ms[b], seg_samples)
+            out = jax.lax.dynamic_update_slice_in_dim(
+                out, coeffs, int(chunk_off[b]), axis=0
+            )
+        # ring update: for each slot j, the latest sample k with k % 8 == j
+        # inside this chunk (keep the old entry if none landed here)
+        k_max = (n0 + L) // cb
+        for j in range(DIV):
+            k = k_max - ((k_max - j) % DIV)
+            step = k * cb
+            row = jnp.clip(step - n0 - 1, 0, L - 1)
+            fresh = (step > n0) & (k >= 0)
+            new_ring = new_ring.at[b, j].set(
+                jnp.where(fresh, all_ys[row, b], new_ring[b, j])
+            )
+    return new_ring, out
 
 
 @dataclass(frozen=True)
@@ -406,22 +424,21 @@ class NBodyPropagator:
         return (n_steps // c) // DIV
 
     # -- the jitted chunk ------------------------------------------------
-    def _build_chunk_fn(self, n_scan: int, startup: bool):
+    def _build_chunk_fn(self, n_scan: int, startup: bool, n_new, chunk_off):
         tab, accel, h = self._tab, self._accel, self.spec.h
-        counts, fit_ms = self._counts_dev, self._fit_ms
-
+        counts = self.spec.counts
+        fit_ms = np.asarray(fit_matrices(self.spec.degrees, backward=self.spec.backward))
         extended = self.precision == "extended"
+        order = tab.order
 
-        def chunk(carry: GenCarry | None, init_y, init_dy, t0, m0, chunk_off, out):
+        def chunk(carry: GenCarry | None, init_y, init_dy, t0, n0, out):
             if startup:
-                ring0 = jnp.zeros((counts.shape[0], DIV, 3), dtype=jnp.float64)
+                ring0 = jnp.zeros((len(counts), DIV, 3), dtype=jnp.float64)
                 ring0 = ring0.at[:, 0].set(init_y)  # sample k=0 = initial position
                 samp = SampleState(ring=ring0, n=jnp.asarray(0, jnp.int64))
-                # startup: ORDER starter full-steps, then sampling over the
-                # emitted per-step positions
                 if extended:
                     ms = elm2_init_q(tab, accel, t0, init_y, init_dy, h)
-                    ys_fwd = ex.to_f64(tuple(l[::-1] for l in ms.ys))
+                    startup_ys = ex.to_f64(tuple(l[::-1] for l in ms.ys))
                 else:
                     from .integrators.multistep import elm2_startup_scan
 
@@ -429,31 +446,33 @@ class NBodyPropagator:
                         tab, accel, t0, init_y, init_dy, h
                     )
                     ms = ELM2Carry(t=t, ys=ys_fwd[::-1], ddys=ddys_fwd[::-1], dy=dy)
-
-                def samp_body(state, y_step):
-                    s, o = state
-                    s, o = _sample_update(s, y_step, counts, fit_ms, m0, chunk_off, o)
-                    return (s, o), None
-
-                (samp, out), _ = jax.lax.scan(samp_body, (samp, out), ys_fwd)
+                    startup_ys = ys_fwd
                 carry = GenCarry(ms=ms, samp=samp)
+            else:
+                startup_ys = None
 
-            # thread `out` through the scan carry
-            def body2(state, _):
-                c, o = state
+            def body(ms, _):
                 if extended:
-                    ms = elm2_step_q(tab, accel, h, c.ms)
+                    ms = elm2_step_q(tab, accel, h, ms)
                     y_now = ex.to_f64(tuple(l[0] for l in ms.ys))
                 else:
-                    ms = elm2_step(tab, accel, h, c.ms)
+                    ms = elm2_step(tab, accel, h, ms)
                     y_now = ms.ys[0]
-                samp, o = _sample_update(c.samp, y_now, counts, fit_ms, m0, chunk_off, o)
-                return (GenCarry(ms=ms, samp=samp), o), None
+                return ms, y_now
 
-            (carry, out), _ = jax.lax.scan(body2, (carry, out), None, length=n_scan)
-            return carry, out
+            ms, scan_ys = jax.lax.scan(body, carry.ms, None, length=n_scan)
+            all_ys = (
+                jnp.concatenate([startup_ys, scan_ys])
+                if startup_ys is not None
+                else scan_ys
+            )
+            ring, out = _fit_chunk_pass(
+                all_ys, carry.samp, counts, fit_ms, n0, n_new, chunk_off, out
+            )
+            samp = SampleState(ring=ring, n=carry.samp.n + all_ys.shape[0])
+            return GenCarry(ms=ms, samp=samp), out
 
-        return jax.jit(chunk, static_argnums=(), donate_argnums=(6,))
+        return jax.jit(chunk, donate_argnums=(5,))
 
     def step_chunk(self, n_steps: int) -> dict[str, np.ndarray]:
         """Advance `n_steps` steps; return dict name -> (n_new, 9, 3) coeffs."""
@@ -466,15 +485,16 @@ class NBodyPropagator:
         n0 = self._n_steps_done
         m0 = self._segments_done(n0)
         m1 = self._segments_done(n0 + n_steps)
-        n_new = m1 - m0
-        max_new = n_new  # exact per-body counts (host-side ints)
-        chunk_off = np.concatenate([[0], np.cumsum(max_new)[:-1]]).astype(np.int64)
-        tot = int(max_new.sum())
+        n_new = tuple(int(x) for x in (m1 - m0))
+        chunk_off = tuple(
+            int(x) for x in np.concatenate([[0], np.cumsum(n_new)[:-1]])
+        )
+        tot = int(sum(n_new))
         out = jnp.zeros((max(tot, 1), MAX_COEFFS, 3), dtype=jnp.float64)
 
-        key = (n_scan, startup, tot)
+        key = (n_scan, startup, n_new)
         if key not in self._chunk_fns:
-            self._chunk_fns[key] = self._build_chunk_fn(n_scan, startup)
+            self._chunk_fns[key] = self._build_chunk_fn(n_scan, startup, n_new, chunk_off)
         fn = self._chunk_fns[key]
 
         init_y, init_dy = self._init_state
@@ -483,8 +503,7 @@ class NBodyPropagator:
             init_y,
             init_dy,
             jnp.asarray(self.t0_s, jnp.float64),
-            jnp.asarray(m0),
-            jnp.asarray(chunk_off),
+            jnp.asarray(n0, jnp.int64),
             out,
         )
         self._carry = carry
