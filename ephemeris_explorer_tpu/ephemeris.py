@@ -402,8 +402,6 @@ class NBodyPropagator:
         self.dt_s = settings.dt.as_seconds()
         self.t0_s = state.epoch.as_offset_seconds()
         self._mu_dev = jnp.asarray(self.mus)
-        self._counts_dev = jnp.asarray(np.array(counts, dtype=np.int64))
-        self._fit_ms = jnp.asarray(fit_matrices(degrees, backward=self.spec.backward))
         self._tab = get_method(method)
         self._carry: GenCarry | None = None
         self._accel = lambda t, y: nbody.pairwise_accel(y, self._mu_dev)

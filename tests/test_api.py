@@ -167,3 +167,16 @@ def test_explorer_session_tick(uni):
     sess._extend_task.join(timeout=300)
     sess.tick(0.1)  # merge the extension
     assert sess.clock.end.as_offset_seconds() > uni.state.epoch.as_offset_seconds() + 39 * 86400
+
+
+def test_concurrent_forward_backward_tasks(uni):
+    """fwd + bwd predictions run as concurrent tasks (main.rs:109-114)."""
+    t_f = uni.extend(Duration.from_days(20.0), +1, background=True)
+    t_b = uni.extend(Duration.from_days(30.0), -1, background=True)
+    t_f.join(timeout=300)
+    t_b.join(timeout=300)
+    t0 = uni.state.epoch.as_offset_seconds()
+    # 40 d initial + 20 d fwd: covered up to the Sun's 48 d segment boundary
+    assert uni.ephemeris.positions(t0 + 45 * 86400.0) is not None
+    # 30 d bwd: covered back to the Sun's -24 d boundary
+    assert uni.ephemeris.positions(t0 - 12 * 86400.0) is not None
