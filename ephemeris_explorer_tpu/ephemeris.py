@@ -333,7 +333,12 @@ def _fit_chunk_pass(all_ys, samp, counts, fit_ms, n0, n_new, chunk_off, out):
             # window segments: (nn, 9) static gather
             win = np.arange(nn)[:, None] * DIV + np.arange(DIV + 1)[None, :]
             seg_samples = samples[jnp.asarray(win)]              # (nn, 9, 3)
-            coeffs = jnp.einsum("ds,msc->mdc", fit_ms[b], seg_samples)
+            # broadcast-reduce instead of einsum: a f64 dot_general lowers to
+            # the slow emulated-matmul path on TPU
+            m_b = jnp.asarray(fit_ms[b])                          # (9, 9)
+            coeffs = jnp.sum(
+                m_b[None, :, :, None] * seg_samples[:, None, :, :], axis=2
+            )
             out = jax.lax.dynamic_update_slice_in_dim(
                 out, coeffs, int(chunk_off[b]), axis=0
             )
