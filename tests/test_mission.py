@@ -67,3 +67,19 @@ def test_full_system_ephemeris_sane(full_eph):
         assert 1.45e8 < au < 1.55e8
         moon = np.linalg.norm(p[eph.names.index("Moon")] - p[eph.names.index("Earth")])
         assert 3.4e5 < moon < 4.2e5
+
+
+def test_artemis_scene_loads_and_flies():
+    """The 2026-epoch scene (sun_earth_moon_2461041.5) works end-to-end."""
+    from ephemeris_explorer_tpu.spacecraft import propagate_ship
+
+    sc = scene.load_scene(SYSTEMS / "sun_earth_moon_2461041.5")
+    eph = generate_ephemeris(sc.state, sc.settings, Duration.from_days(40.0))
+    assert sc.ships, "scene bundles Artemis II"
+    ship = sc.ships[0]
+    traj = propagate_ship(eph, ship, max_knots=32768)
+    assert traj.end_s > traj.start_s
+    # the ship stays gravitationally bound to the Earth-Moon neighbourhood
+    p = traj.position(traj.start_s + (traj.end_s - traj.start_s) / 2)
+    e = eph["Earth"].position(traj.start_s + (traj.end_s - traj.start_s) / 2)
+    assert np.linalg.norm(p - e) < 2e6
