@@ -159,3 +159,37 @@ def test_extended_precision_generation(sem):
     t = sem.state.epoch.as_offset_seconds() + 20 * 86400.0
     p1, p2 = e1.positions(t), e2.positions(t)
     assert np.max(np.abs(p1 - p2)) < 1e-3  # < 1 m (f64 path own roundoff)
+
+
+def test_spline_boundary_rule_exact():
+    """At interior knots the PREVIOUS polynomial is used (trajectory.rs:563)."""
+    from ephemeris_explorer_tpu.ephemeris import BodyEphemeris
+    from ephemeris_explorer_tpu.ops.polyfit import MAX_COEFFS
+
+    coeffs = np.zeros((2, MAX_COEFFS, 3))
+    coeffs[0, 0, 0] = 1.0   # segment 0: constant 1
+    coeffs[1, 0, 0] = 2.0   # segment 1: constant 2
+    b = BodyEphemeris(start_s=0.0, interval_s=10.0, coeffs=coeffs)
+    assert b.position(0.0)[0] == 1.0      # start: first polynomial
+    assert b.position(10.0)[0] == 1.0     # interior knot: PREVIOUS polynomial
+    assert b.position(10.0001)[0] == 2.0
+    assert b.position(20.0)[0] == 2.0     # end-inclusive
+    assert b.position(20.0001) is None
+    assert b.position(-0.0001) is None
+
+
+def test_synchronisation_modes(sem):
+    from ephemeris_explorer_tpu.api import PredictionTask, Synchronisation
+    from ephemeris_explorer_tpu.ephemeris import Ephemeris, NBodyPropagator
+    import threading
+
+    prop = NBodyPropagator(sem.state, sem.settings)
+    target = Ephemeris(names=prop.names, mus=prop.mus, bodies={})
+    task = PredictionTask(
+        prop, target, threading.Lock(), total_steps=160,
+        synchronisation=Synchronisation.every_steps(40),
+    )
+    task.start()
+    task.join(timeout=300)
+    assert task.progress == 1.0
+    assert target["Moon"].segment_count == 160 // 8
