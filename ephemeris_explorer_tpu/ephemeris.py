@@ -317,7 +317,7 @@ def _fit_chunk_pass(all_ys, samp, counts, fit_ms, n0, n_new, chunk_off, out):
     L = all_ys.shape[0]
     nb = len(counts)
     n0 = jnp.asarray(n0, jnp.int64)
-    new_ring = samp.ring
+    ring_rows = []
     for b in range(nb):
         cb = int(counts[b])
         nn = int(n_new[b])
@@ -342,17 +342,16 @@ def _fit_chunk_pass(all_ys, samp, counts, fit_ms, n0, n_new, chunk_off, out):
             out = jax.lax.dynamic_update_slice_in_dim(
                 out, coeffs, int(chunk_off[b]), axis=0
             )
-        # ring update: for each slot j, the latest sample k with k % 8 == j
-        # inside this chunk (keep the old entry if none landed here)
+        # ring update, vectorised over slots: the latest sample k with
+        # k % 8 == j inside this chunk (keep the old entry if none landed)
         k_max = (n0 + L) // cb
-        for j in range(DIV):
-            k = k_max - ((k_max - j) % DIV)
-            step = k * cb
-            row = jnp.clip(step - n0 - 1, 0, L - 1)
-            fresh = (step > n0) & (k >= 0)
-            new_ring = new_ring.at[b, j].set(
-                jnp.where(fresh, all_ys[row, b], new_ring[b, j])
-            )
+        js = jnp.arange(DIV)
+        ks = k_max - ((k_max - js) % DIV)
+        steps_r = ks * cb
+        rows = jnp.clip(steps_r - n0 - 1, 0, L - 1)
+        fresh = (steps_r > n0) & (ks >= 0)
+        ring_rows.append(jnp.where(fresh[:, None], all_ys[rows, b], samp.ring[b]))
+    new_ring = jnp.stack(ring_rows)
     return new_ring, out
 
 
