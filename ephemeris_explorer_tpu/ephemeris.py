@@ -427,54 +427,9 @@ class NBodyPropagator:
 
     # -- the jitted chunk ------------------------------------------------
     def _build_chunk_fn(self, n_scan: int, startup: bool, n_new, chunk_off):
-        tab, accel, h = self._tab, self._accel, self.spec.h
-        counts = self.spec.counts
-        fit_ms = np.asarray(fit_matrices(self.spec.degrees, backward=self.spec.backward))
-        extended = self.precision == "extended"
-        order = tab.order
-
-        def chunk(carry: GenCarry | None, init_y, init_dy, t0, n0, out):
-            if startup:
-                ring0 = jnp.zeros((len(counts), DIV, 3), dtype=jnp.float64)
-                ring0 = ring0.at[:, 0].set(init_y)  # sample k=0 = initial position
-                samp = SampleState(ring=ring0, n=jnp.asarray(0, jnp.int64))
-                if extended:
-                    ms = elm2_init_q(tab, accel, t0, init_y, init_dy, h)
-                    startup_ys = ex.to_f64(tuple(l[::-1] for l in ms.ys))
-                else:
-                    from .integrators.multistep import elm2_startup_scan
-
-                    t, dy, ys_fwd, ddys_fwd = elm2_startup_scan(
-                        tab, accel, t0, init_y, init_dy, h
-                    )
-                    ms = ELM2Carry(t=t, ys=ys_fwd[::-1], ddys=ddys_fwd[::-1], dy=dy)
-                    startup_ys = ys_fwd
-                carry = GenCarry(ms=ms, samp=samp)
-            else:
-                startup_ys = None
-
-            def body(ms, _):
-                if extended:
-                    ms = elm2_step_q(tab, accel, h, ms)
-                    y_now = ex.to_f64(tuple(l[0] for l in ms.ys))
-                else:
-                    ms = elm2_step(tab, accel, h, ms)
-                    y_now = ms.ys[0]
-                return ms, y_now
-
-            ms, scan_ys = jax.lax.scan(body, carry.ms, None, length=n_scan)
-            all_ys = (
-                jnp.concatenate([startup_ys, scan_ys])
-                if startup_ys is not None
-                else scan_ys
-            )
-            ring, out = _fit_chunk_pass(
-                all_ys, carry.samp, counts, fit_ms, n0, n_new, chunk_off, out
-            )
-            samp = SampleState(ring=ring, n=carry.samp.n + all_ys.shape[0])
-            return GenCarry(ms=ms, samp=samp), out
-
-        return jax.jit(chunk, donate_argnums=(5,))
+        return _chunk_fn(
+            self.spec, self.precision, n_scan, startup, n_new, chunk_off
+        )
 
     def step_chunk(self, n_steps: int) -> dict[str, np.ndarray]:
         """Advance `n_steps` steps; return dict name -> (n_new, 9, 3) coeffs."""
@@ -501,6 +456,7 @@ class NBodyPropagator:
 
         init_y, init_dy = self._init_state
         carry, out = fn(
+            self._mu_dev,
             self._carry,
             init_y,
             init_dy,
@@ -528,6 +484,77 @@ class NBodyPropagator:
             start = self.t0_s - interval * (first_seg + n_seg)
         return start, interval
 
+
+
+
+_CHUNK_FN_CACHE: dict = {}
+
+
+def _chunk_fn(spec: "GenSpec", precision: str, n_scan: int, startup: bool, n_new, chunk_off):
+    """Build (or fetch) the jitted generation chunk for a static config.
+
+    Cached at module level so every propagator with the same configuration
+    (method, step, counts, degrees, direction, precision, chunk shape) shares
+    one compilation - fresh closures would recompile per instance.
+    """
+    key = (spec, precision, n_scan, startup, n_new, chunk_off)
+    cached = _CHUNK_FN_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    tab = get_method(spec.method)
+    h = spec.h
+    counts = spec.counts
+    fit_ms = np.asarray(fit_matrices(spec.degrees, backward=spec.backward))
+    extended = precision == "extended"
+
+    def chunk(mu, carry: GenCarry | None, init_y, init_dy, t0, n0, out):
+        def accel(t, y):
+            return nbody.pairwise_accel(y, mu)
+
+        if startup:
+            ring0 = jnp.zeros((len(counts), DIV, 3), dtype=jnp.float64)
+            ring0 = ring0.at[:, 0].set(init_y)  # sample k=0 = initial position
+            samp = SampleState(ring=ring0, n=jnp.asarray(0, jnp.int64))
+            if extended:
+                ms = elm2_init_q(tab, accel, t0, init_y, init_dy, h)
+                startup_ys = ex.to_f64(tuple(l[::-1] for l in ms.ys))
+            else:
+                from .integrators.multistep import elm2_startup_scan
+
+                t, dy, ys_fwd, ddys_fwd = elm2_startup_scan(
+                    tab, accel, t0, init_y, init_dy, h
+                )
+                ms = ELM2Carry(t=t, ys=ys_fwd[::-1], ddys=ddys_fwd[::-1], dy=dy)
+                startup_ys = ys_fwd
+            carry = GenCarry(ms=ms, samp=samp)
+        else:
+            startup_ys = None
+
+        def body(ms, _):
+            if extended:
+                ms = elm2_step_q(tab, accel, h, ms)
+                y_now = ex.to_f64(tuple(l[0] for l in ms.ys))
+            else:
+                ms = elm2_step(tab, accel, h, ms)
+                y_now = ms.ys[0]
+            return ms, y_now
+
+        ms, scan_ys = jax.lax.scan(body, carry.ms, None, length=n_scan)
+        all_ys = (
+            jnp.concatenate([startup_ys, scan_ys])
+            if startup_ys is not None
+            else scan_ys
+        )
+        ring, out = _fit_chunk_pass(
+            all_ys, carry.samp, counts, fit_ms, n0, n_new, chunk_off, out
+        )
+        samp = SampleState(ring=ring, n=carry.samp.n + all_ys.shape[0])
+        return GenCarry(ms=ms, samp=samp), out
+
+    fn = jax.jit(chunk, donate_argnums=(6,))
+    _CHUNK_FN_CACHE[key] = fn
+    return fn
 
 def generate_ephemeris(
     state: SolarSystemState,
