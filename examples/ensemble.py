@@ -47,13 +47,12 @@ def main() -> None:
 
     mesh = sh.make_mesh(data=args.data, model=args.model)
     carry = sh.init_ensemble_carry(mesh, tab, mu, 0.0, pos, vel, h)
-    step = sh.make_sharded_ensemble_step(mesh, tab, mu, h)
+    run = sh.make_sharded_ensemble_scan(mesh, tab, mu, h, args.steps)
 
-    carry = step(carry)
-    _ = np.asarray(carry.t)  # force completion
+    carry = run(carry)
+    _ = np.asarray(carry.t)  # force completion (warmup/compile)
     t0 = time.perf_counter()
-    for _ in range(args.steps):
-        carry = step(carry)
+    carry = run(carry)
     _ = np.asarray(carry.t)
     el = (time.perf_counter() - t0) / args.steps
     rate = args.ensembles * args.bodies / el
