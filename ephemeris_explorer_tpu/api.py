@@ -335,6 +335,7 @@ class Universe:
         self.lock = threading.Lock()
         self._fwd: NBodyPropagator | None = None
         self._bwd: NBodyPropagator | None = None
+        self._inflight: dict[int, PredictionTask] = {}
         self.ships: dict[str, ShipEntry] = {}
 
     # -- loading ----------------------------------------------------------
@@ -360,11 +361,20 @@ class Universe:
         :class:`PredictionTask` (planner-window semantics,
         ui/windows/planner.rs:32-200).
         """
+        # dedupe against an in-flight task for this direction
+        # (handle_extend_request, auto_extend.rs:105-129)
+        existing = self._inflight.get(direction)
+        if existing is not None and existing.in_progress:
+            if background:
+                return existing
+            existing.join()
+            return None
         prop = self._propagator(direction)
         n_steps = int(round(abs(span.as_seconds()) / prop.dt_s))
         total = prop.steps_done + n_steps
         task = PredictionTask(prop, self.ephemeris, self.lock, total)
         task.start()
+        self._inflight[direction] = task
         if background:
             return task
         task.join()
