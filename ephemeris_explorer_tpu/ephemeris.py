@@ -8,9 +8,9 @@ TPU-first:
 * integration is a ``lax.scan`` over fixed QT12/Stormer13 multistep steps
   (one O(N^2) force evaluation per step);
 * per-body position sampling (every ``count`` steps) and the 9-sample
-  least-squares polynomial fit run INSIDE the scan, vectorised over bodies,
-  scattering finished segment coefficients into a flat per-chunk output array
-  (no host round-trips in the hot loop);
+  least-squares polynomial fits run as ONE vectorised pass per chunk over the
+  scan-emitted positions (static shapes, no per-step scatters, no host
+  round-trips in the hot loop);
 * the host-side :class:`BodyEphemeris` mirrors ``UniformSpline`` exactly
   (O(1) end-inclusive segment lookup, push/clear/append/prepend semantics,
   Horner value+derivative evaluation), and :class:`PackedEphemeris` is the
