@@ -215,3 +215,59 @@ def test_batched_fleet_matches_single(sem_eph):
             pa, pb = solo.position(t), batched.position(t)
             assert pa is not None and pb is not None
             assert np.max(np.abs(pa - pb)) < 1e-2, (s.name, frac)
+
+
+def test_inertial_frame_burn(sem_eph):
+    """Burns without a reference body use the inertial frame directly."""
+    sc, eph = sem_eph
+    base = sc.ships[0]
+    from ephemeris_explorer_tpu.io.scene import Ship
+
+    t0 = base.start.as_offset_seconds()
+    ship = Ship(
+        name="Inertial",
+        integrator="DormandPrince54",
+        tolerance=1e-3,
+        start=base.start,
+        end=Epoch.from_offset_seconds(t0 + 2 * 86400.0),
+        position=base.position,
+        velocity=base.velocity,
+        burns=[_burn(t0 + 1800.0, 100.0, [0.0, 1e-2, 0.0], None)],  # inertial +y
+    )
+    coast = Ship(**{**ship.__dict__, "name": "Coast2", "burns": []})
+    tb = propagate_ship(eph, ship)
+    tc = propagate_ship(eph, coast)
+    t = t0 + 2000.0
+    _, vb = tb.state_vector(t)
+    _, vc = tc.state_vector(t)
+    dv = vb - vc
+    # delta-v is ~1 km/s along +y exactly (no frame rotation)
+    assert abs(dv[1] - 1.0) < 2e-2 and abs(dv[0]) < 5e-2 and abs(dv[2]) < 5e-2
+
+
+def test_ship_across_scene_epoch(sem_eph):
+    """A ship starting BEFORE the scene epoch flies on the merged fwd+bwd
+    ephemeris (bidirectional coverage)."""
+    from ephemeris_explorer_tpu.ephemeris import generate_ephemeris, merge_bidirectional
+    from ephemeris_explorer_tpu.io.scene import Ship
+
+    sc, _ = sem_eph
+    fwd = generate_ephemeris(sc.state, sc.settings, Duration.from_days(40.0), +1)
+    bwd = generate_ephemeris(sc.state, sc.settings, Duration.from_days(40.0), -1)
+    eph = merge_bidirectional(fwd, bwd)
+    t0 = sc.state.epoch.as_offset_seconds()
+    base = sc.ships[0]
+    # back-propagated start state: just start earlier on the same orbit
+    ship = Ship(
+        name="CrossEpoch",
+        integrator="Verner87",
+        tolerance=1e-3,
+        start=Epoch.from_offset_seconds(t0 - 10 * 86400.0),
+        end=Epoch.from_offset_seconds(t0 + 10 * 86400.0),
+        position=base.position + np.array([5e4, 0, 0]),
+        velocity=base.velocity,
+        burns=[],
+    )
+    traj = propagate_ship(eph, ship, max_knots=32768)
+    assert traj.start_s < t0 < traj.end_s
+    assert traj.end_s >= ship.end.as_offset_seconds() - 1.0
