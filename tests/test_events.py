@@ -148,3 +148,56 @@ def test_relative_trajectory(ctx):
     assert tmin is not None and rel.contains(tmin)
     # bounds are the intersection
     assert rel.start_s == max(eph["Moon"].start_s, eph["Earth"].start_s)
+
+
+def test_segment_classification_branches():
+    """All Capture/Escape/Flyby/Transit/Orbit branches (analysis.rs:279-296)."""
+    names = ["Sun", "Earth", "Moon"]
+    parent = {0: -1, 1: 0, 2: 1}  # Moon's SOI parent = Earth
+    soi_parent_of = lambda b, t: parent[b]
+
+    def kinds(transitions):
+        segs = analysis.segment_trajectory(
+            transitions, None, names, soi_parent_of, start=0.0, end=1000.0
+        )
+        return [(s.kind.value, s.body) for s in segs]
+
+    # single span, no transitions around it -> Orbit
+    assert kinds([(0.0, 1)]) == [("Orbit", 1)]
+    # Earth -> Moon -> Earth: the Moon span is a Flyby (entered from and
+    # leaving to its SOI parent)
+    got = kinds([(0.0, 1), (100.0, 2), (200.0, 1)])
+    assert ("Flyby", 2) in got
+    # Earth -> Moon (stays): Capture
+    got = kinds([(0.0, 1), (100.0, 2)])
+    assert got[-1] == ("Capture", 2)
+    # Moon -> Earth (leaves to parent): the Moon span is an Escape
+    got = kinds([(0.0, 2), (100.0, 1)])
+    assert got[0] == ("Escape", 2)
+    # Sun -> Moon -> Sun: Moon entered NOT from its parent -> Transit
+    got = kinds([(0.0, 0), (100.0, 2), (200.0, 0)])
+    assert ("Transit", 2) in got
+
+
+def test_segment_burn_subdivision():
+    from ephemeris_explorer_tpu.spacecraft import build_timeline
+    from ephemeris_explorer_tpu.io.scene import ShipBurn
+    from ephemeris_explorer_tpu import Duration, Epoch
+
+    names = ["Sun", "Earth"]
+    tl = build_timeline(
+        [ShipBurn(
+            start=Epoch.from_offset_seconds(100.0),
+            duration=Duration.from_seconds(50.0),
+            acceleration=np.array([1e-2, 0, 0]),
+            reference="Earth",
+        )],
+        {"Earth": 1, "Sun": 0},
+    )
+    segs = analysis.segment_trajectory(
+        [(0.0, 1)], tl, names, lambda b, t: 0, start=0.0, end=1000.0
+    )
+    # coast + burn + coast pieces, burn flagged and named "... Burn"
+    assert [s.burn for s in segs] == [False, True, False]
+    assert "Burn" in segs[1].name
+    assert segs[1].start == 100.0 and segs[1].end == 150.0
