@@ -120,7 +120,7 @@ def _bisect(f, t0s, t1s, f0s):
 
 
 def soi_transitions(
-    traj, eph: PackedEphemeris, soi_radii, names=None
+    traj, eph: PackedEphemeris, soi_radii
 ) -> list[tuple[float, int]]:
     """Ordered (time, body-index) SOI transition list for a trajectory.
 

@@ -250,7 +250,6 @@ def propagate(
     pos = pos.at[0].set(pos0)
     vel = vel.at[0].set(vel0)
 
-    nystrom = isinstance(tab, ERKNGTableau)
     y0 = (pos0, vel0)
 
     def fresh_state(seg, t, y):
