@@ -193,3 +193,21 @@ def test_synchronisation_modes(sem):
     task.join(timeout=300)
     assert task.progress == 1.0
     assert target["Moon"].segment_count == 160 // 8
+
+
+def test_synchronisation_hertz_retunes(sem):
+    from ephemeris_explorer_tpu.api import PredictionTask, Synchronisation
+    from ephemeris_explorer_tpu.ephemeris import Ephemeris, NBodyPropagator
+    import threading
+
+    prop = NBodyPropagator(sem.state, sem.settings)
+    target = Ephemeris(names=prop.names, mus=prop.mus, bodies={})
+    task = PredictionTask(
+        prop, target, threading.Lock(), total_steps=400,
+        chunk_steps=50, synchronisation=Synchronisation.at_hertz(1000.0),
+    )
+    task.start()
+    task.join(timeout=300)
+    assert task.progress == 1.0
+    # the frequency controller adjusted the chunk after the first measurement
+    assert task._chunk != 50 or len(task._chunk_times) == 1
