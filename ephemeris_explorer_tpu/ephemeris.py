@@ -385,11 +385,12 @@ class NBodyPropagator:
         settings: EphemeridesSettings,
         direction: int = +1,
         method: str = "QuinlanTremaine12",
-        precision: str = "f64",
+        precision: str = "auto",
     ):
-        """precision: "f64" (reference-equivalent; CPU-exact) or "extended"
+        """precision: "f64" (reference-equivalent; CPU-exact), "extended"
         (quad-f32 expansion position state - the TPU long-horizon mode, see
-        integrators.multistep.elm2_step_q)."""
+        integrators.multistep.elm2_step_q), or "auto" (extended on TPU where
+        plain f64 is 2^-48 emulation, f64 elsewhere)."""
         names = [b.name for b in state.bodies]
         missing = [n for n in names if n not in settings.settings]
         if missing:
@@ -397,6 +398,10 @@ class NBodyPropagator:
         counts = tuple(settings.settings[n].count for n in names)
         degrees = tuple(settings.settings[n].degree for n in names)
         h = float(np.copysign(settings.dt.as_seconds(), direction))
+        if precision == "auto":
+            precision = (
+                "extended" if jax.default_backend() in ("tpu", "axon") else "f64"
+            )
         if precision not in ("f64", "extended"):
             raise ValueError(precision)
         self.precision = precision
@@ -563,7 +568,7 @@ def generate_ephemeris(
     direction: int = +1,
     method: str = "QuinlanTremaine12",
     chunk_steps: int | None = None,
-    precision: str = "f64",
+    precision: str = "auto",
 ) -> Ephemeris:
     """Generate a full system ephemeris over `span` (one direction).
 
