@@ -410,6 +410,27 @@ class Universe:
         return SolarSystemState(name=self.state.name, epoch=at, bodies=out)
 
     # -- ships / flight plans --------------------------------------------
+    def spawn_scene_ships(self, propagate_now: bool = True) -> list[ShipEntry]:
+        """Spawn every ship bundled with the scene (SpawnStage::Ships,
+        load/mod.rs:488-621)."""
+        return [self.spawn_ship(s, propagate_now=propagate_now) for s in self.scene.ships]
+
+    def export_ship(self, name: str) -> str:
+        """Ship JSON export (ui/windows/body.rs ship export)."""
+        entry = self.ships[name]
+        ship = entry.ship
+        exported = Ship(
+            name=ship.name,
+            integrator=entry.plan.method,
+            tolerance=entry.plan.params.tol_pos,
+            start=ship.start,
+            end=entry.plan.end,
+            position=ship.position,
+            velocity=ship.velocity,
+            burns=[b.to_ship_burn() for b in entry.plan.burns.values() if b.is_active()],
+        )
+        return scene_io.ship_to_json(exported)
+
     def spawn_ship(self, ship: Ship, propagate_now: bool = True) -> ShipEntry:
         plan = FlightPlan(
             method=ship.integrator,

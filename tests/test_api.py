@@ -180,3 +180,16 @@ def test_concurrent_forward_backward_tasks(uni):
     assert uni.ephemeris.positions(t0 + 45 * 86400.0) is not None
     # 30 d bwd: covered back to the Sun's -24 d boundary
     assert uni.ephemeris.positions(t0 - 12 * 86400.0) is not None
+
+
+def test_spawn_scene_ships_and_export(uni):
+    entries = uni.spawn_scene_ships()
+    assert len(entries) == len(uni.scene.ships)
+    name = uni.scene.ships[0].name
+    js = uni.export_ship(name)
+    from ephemeris_explorer_tpu.io.scene import load_ship
+    import json as _json
+
+    re_ship = load_ship(_json.loads(js))
+    assert re_ship.name == name
+    assert re_ship.integrator == uni.ships[name].plan.method
