@@ -380,6 +380,24 @@ class Universe:
         task.join()
         return None
 
+    def extend_to(self, epoch: Epoch, background: bool = False):
+        """Extend coverage to an arbitrary epoch (planner semantics,
+        ui/windows/planner.rs:32-200): picks the direction automatically and
+        sizes the span from the current bounds."""
+        t = epoch.as_offset_seconds()
+        if self.ephemeris.bodies and any(
+            b.segment_count for b in self.ephemeris.bodies.values()
+        ):
+            start = self.ephemeris.start.as_offset_seconds()
+            end = self.ephemeris.end.as_offset_seconds()
+        else:
+            start = end = self.state.epoch.as_offset_seconds()
+        if t > end:
+            return self.extend(Duration.from_seconds(t - end), +1, background)
+        if t < start:
+            return self.extend(Duration.from_seconds(start - t), -1, background)
+        return None
+
     def generate(self, span: Duration, backward_span: Duration | None = None) -> None:
         """Initial bidirectional generation (load/mod.rs:673-687)."""
         self.extend(span, +1)

@@ -193,3 +193,17 @@ def test_spawn_scene_ships_and_export(uni):
     re_ship = load_ship(_json.loads(js))
     assert re_ship.name == name
     assert re_ship.integrator == uni.ships[name].plan.method
+
+
+def test_extend_to_epoch(uni):
+    target = Epoch.from_offset_seconds(
+        uni.state.epoch.as_offset_seconds() + 100 * 86400.0
+    )
+    uni.extend_to(target)
+    # covered up to the last full Sun segment before the target
+    assert uni.ephemeris.end.as_offset_seconds() >= target.as_offset_seconds() - 24 * 86400.0
+    back = Epoch.from_offset_seconds(uni.state.epoch.as_offset_seconds() - 50 * 86400.0)
+    uni.extend_to(back)
+    assert uni.ephemeris.start.as_offset_seconds() <= back.as_offset_seconds() + 24 * 86400.0
+    # already covered -> no-op
+    assert uni.extend_to(uni.state.epoch) is None
