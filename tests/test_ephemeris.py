@@ -211,3 +211,18 @@ def test_synchronisation_hertz_retunes(sem):
     assert task.progress == 1.0
     # the frequency controller adjusted the chunk after the first measurement
     assert task._chunk != 50 or len(task._chunk_times) == 1
+
+
+def test_between_subspline(sem):
+    eph = generate_ephemeris(sem.state, sem.settings, Duration.from_days(40.0))
+    b = eph["Moon"]
+    lo = b.start_s + 5 * b.interval_s
+    hi = b.start_s + 10 * b.interval_s
+    sub = b.between(lo, hi)
+    # between() is end-inclusive on both sides (trajectory.rs:484-502)
+    assert sub.segment_count == 6
+    assert sub.start_s == lo - b.interval_s  # exclusive index rule at `lo`
+    t = lo + 2.5 * b.interval_s
+    np.testing.assert_allclose(sub.position(t), b.position(t), rtol=0, atol=1e-12)
+    # out-of-range returns None
+    assert b.between(b.start_s - 2 * b.interval_s, b.start_s - b.interval_s) is None
