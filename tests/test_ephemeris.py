@@ -226,3 +226,19 @@ def test_between_subspline(sem):
     np.testing.assert_allclose(sub.position(t), b.position(t), rtol=0, atol=1e-12)
     # out-of-range returns None
     assert b.between(b.start_s - 2 * b.interval_s, b.start_s - b.interval_s) is None
+
+
+def test_visuals_loading():
+    from pathlib import Path
+
+    from ephemeris_explorer_tpu.io.scene import load_visuals_dir
+
+    vis = load_visuals_dir(Path(__file__).resolve().parent.parent / "systems" / "visuals")
+    assert "earth" in vis and "moon" in vis
+    earth = vis["earth"]
+    assert abs(earth.radii[0] - 6378.1366) < 1e-6
+    assert abs(earth.rotation_rate - 6.3003876824) < 1e-6
+    assert earth.orbit_reference == "Sun"
+    rot = earth.rotating()
+    q = rot.at(earth.rotation_reference_epoch)
+    assert np.isfinite(q).all()
