@@ -471,12 +471,33 @@ class Universe:
             self.replan(ship.name)
         return entry
 
+    def _context_covers(self, t: float) -> bool:
+        return (
+            all(b.segment_count for b in self.ephemeris.bodies.values())
+            and self.ephemeris.start.as_offset_seconds() <= t
+            and t <= self.ephemeris.end.as_offset_seconds()
+        )
+
     def replan(self, name: str, max_knots: int = 65536) -> HermiteTrajectory:
         """(Re)propagate a ship after flight-plan changes, restarting from the
         last unaffected event (apply_flight_plan, flight_plan.rs:325-361)."""
         entry = self.ships[name]
         plan = entry.plan
         ship = entry.ship
+        # context-validity guard (apply_flight_plan, flight_plan.rs:342-344):
+        # don't propagate until the celestial context covers the start
+        start_t = (
+            entry.trajectory.start_s
+            if entry.trajectory is not None and len(entry.trajectory.ts)
+            else ship.start.as_offset_seconds()
+        )
+        if not self._context_covers(start_t):
+            logger.info("replan(%s) deferred: context does not cover %s", name, start_t)
+            if entry.trajectory is None:
+                entry.trajectory = HermiteTrajectory(
+                    ts=np.empty(0), pos=np.empty((0, 3)), vel=np.empty((0, 3))
+                )
+            return entry.trajectory
         tab = get_method(plan.method)
         packed = self.ephemeris.pack()
         timeline = plan.generate_timeline(self.body_index)
@@ -645,12 +666,10 @@ class ExplorerSession:
             self._sync_bounds()
             for name, entry in self.universe.ships.items():
                 end = entry.plan.end.as_offset_seconds()
-                covered = (
-                    entry.trajectory is not None
-                    and entry.trajectory.end_s >= end - 1.0
-                )
+                has_traj = entry.trajectory is not None and len(entry.trajectory.ts) > 0
+                covered = has_traj and entry.trajectory.end_s >= end - 1.0
                 if not covered and self.universe.ephemeris.end.as_offset_seconds() > (
-                    entry.trajectory.end_s if entry.trajectory is not None else -np.inf
+                    entry.trajectory.end_s if has_traj else -np.inf
                 ):
                     self.universe.replan(name)
 

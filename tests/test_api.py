@@ -207,3 +207,27 @@ def test_extend_to_epoch(uni):
     assert uni.ephemeris.start.as_offset_seconds() <= back.as_offset_seconds() + 24 * 86400.0
     # already covered -> no-op
     assert uni.extend_to(uni.state.epoch) is None
+
+
+def test_replan_deferred_outside_context(uni):
+    """Ships whose start is outside the context don't propagate (guard,
+    flight_plan.rs:342-344) and pick up later when coverage arrives."""
+    from ephemeris_explorer_tpu.io.scene import Ship
+
+    far = Epoch.from_offset_seconds(uni.state.epoch.as_offset_seconds() + 60 * 86400.0)
+    ship = Ship(
+        name="Late",
+        integrator="Verner87",
+        tolerance=1e-3,
+        start=far,
+        end=Epoch.from_offset_seconds(far.as_offset_seconds() + 86400.0),
+        position=uni.scene.ships[0].position,
+        velocity=uni.scene.ships[0].velocity,
+        burns=[],
+    )
+    entry = uni.spawn_ship(ship)
+    assert len(entry.trajectory.ts) == 0  # deferred
+    uni.extend(Duration.from_days(60.0))
+    uni.replan("Late")
+    assert len(entry.trajectory.ts) > 1
+    assert entry.trajectory.start_s == far.as_offset_seconds()
