@@ -471,6 +471,38 @@ class Universe:
             self.replan(ship.name)
         return entry
 
+    def spawn_ship_relative(
+        self,
+        name: str,
+        reference: str,
+        position,
+        velocity,
+        at: Epoch,
+        end: Epoch,
+        integrator: str = "Verner87",
+        tolerance: float = 1e-3,
+        burns: list[ShipBurn] | None = None,
+        propagate_now: bool = True,
+    ) -> ShipEntry:
+        """Spawn a ship from a state RELATIVE to a body (spawner UI,
+        ui/windows/spawner.rs): the reference body's interpolated state at
+        `at` is added to the given offsets."""
+        sv = self.ephemeris[reference].state_vector(at)
+        if sv is None:
+            raise ValueError(f"{reference} does not cover {at}")
+        bpos, bvel = sv
+        ship = Ship(
+            name=name,
+            integrator=integrator,
+            tolerance=tolerance,
+            start=at,
+            end=end,
+            position=np.asarray(position, dtype=np.float64) + bpos,
+            velocity=np.asarray(velocity, dtype=np.float64) + bvel,
+            burns=burns or [],
+        )
+        return self.spawn_ship(ship, propagate_now=propagate_now)
+
     def _context_covers(self, t: float) -> bool:
         return (
             all(b.segment_count for b in self.ephemeris.bodies.values())

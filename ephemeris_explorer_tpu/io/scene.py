@@ -180,19 +180,33 @@ class Scene:
     state: SolarSystemState
     settings: EphemeridesSettings | None
     ships: list[Ship]
+    errors: list[str] = field(default_factory=list)
 
 
-def load_scene(directory: str | Path) -> Scene:
+def load_scene(directory: str | Path, collect_errors: bool = False) -> Scene:
+    """Load a scene directory.
+
+    With ``collect_errors=True``, per-ship loading failures are aggregated
+    into ``Scene.errors`` instead of aborting, the way the app surfaces
+    loading problems in its errors window (load/mod.rs:205-244) rather than
+    crashing.
+    """
     directory = Path(directory)
     state = load_state(directory / "state.json")
     settings_path = directory / "ephemeris.json"
     settings = load_ephemerides_settings(settings_path) if settings_path.exists() else None
     ships = []
+    errors: list[str] = []
     ships_dir = directory / "ships"
     if ships_dir.is_dir():
         for p in sorted(ships_dir.glob("*.json")):
-            ships.append(load_ship(p))
-    return Scene(state=state, settings=settings, ships=ships)
+            try:
+                ships.append(load_ship(p))
+            except Exception as e:  # noqa: BLE001
+                if not collect_errors:
+                    raise
+                errors.append(f"{p.name}: {e}")
+    return Scene(state=state, settings=settings, ships=ships, errors=errors)
 
 
 # ---------------------------------------------------------------------------

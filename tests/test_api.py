@@ -231,3 +231,20 @@ def test_replan_deferred_outside_context(uni):
     uni.replan("Late")
     assert len(entry.trajectory.ts) > 1
     assert entry.trajectory.start_s == far.as_offset_seconds()
+
+
+def test_spawn_ship_relative(uni):
+    import math
+
+    at = Epoch.from_offset_seconds(uni.state.epoch.as_offset_seconds() + 86400.0)
+    mu_e = uni.state.bodies[uni.body_index["Earth"]].mu
+    r = 7000.0
+    v = math.sqrt(mu_e / r)
+    entry = uni.spawn_ship_relative(
+        "RelSat", "Earth", [r, 0.0, 0.0], [0.0, v, 0.0],
+        at=at, end=Epoch.from_offset_seconds(at.as_offset_seconds() + 86400.0),
+    )
+    traj = entry.trajectory
+    t = at.as_offset_seconds() + 43200.0
+    d = np.linalg.norm(traj.position(t) - uni.ephemeris["Earth"].position(t))
+    assert abs(d - r) < 200.0  # circular-ish orbit around Earth

@@ -242,3 +242,20 @@ def test_visuals_loading():
     rot = earth.rotating()
     q = rot.at(earth.rotation_reference_epoch)
     assert np.isfinite(q).all()
+
+
+def test_scene_error_aggregation(tmp_path, sem):
+    import shutil
+    from pathlib import Path
+
+    src_dir = Path(__file__).resolve().parent.parent / "systems" / "sun_earth_moon_2433282.5"
+    dst = tmp_path / "scene"
+    shutil.copytree(src_dir, dst)
+    (dst / "ships" / "broken.json").write_text("{not valid json")
+    sc2 = scene.load_scene(dst, collect_errors=True)
+    assert len(sc2.errors) == 1 and "broken.json" in sc2.errors[0]
+    assert len(sc2.ships) == 1  # the good ship still loaded
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        scene.load_scene(dst)  # strict mode raises
