@@ -332,7 +332,9 @@ class Universe:
         self.names = [b.name for b in sc.state.bodies]
         self.body_index = {n: i for i, n in enumerate(self.names)}
         self.ephemeris = Ephemeris(names=self.names, mus=sc.state.mus(), bodies={})
-        self.lock = threading.Lock()
+        # RLock: reader paths (positions/export_state/replan's pack) take it
+        # too, and replan may be reached from code already holding it.
+        self.lock = threading.RLock()
         self._fwd: NBodyPropagator | None = None
         self._bwd: NBodyPropagator | None = None
         self._inflight: dict[int, PredictionTask] = {}
@@ -405,26 +407,31 @@ class Universe:
             self.extend(backward_span, -1)
 
     # -- evaluation / export ---------------------------------------------
+    # Readers hold the universe lock so multi-body results are one consistent
+    # cut across an in-flight background merge (the reference's RwLock read
+    # guard, dynamics/mod.rs:84-147).
     def positions(self, at: Epoch):
-        return self.ephemeris.positions(at.as_offset_seconds())
+        with self.lock:
+            return self.ephemeris.positions(at.as_offset_seconds())
 
     def export_state(self, at: Epoch, bodies: list[str] | None = None) -> SolarSystemState:
         """System snapshot from spline evaluation (ui/windows/export.rs:222-256)."""
         out = []
-        for name in bodies or self.names:
-            b = self.ephemeris[name]
-            sv = b.state_vector(at)
-            if sv is None:
-                raise ValueError(f"{name} does not cover {at}")
-            pos, vel = sv
-            out.append(
-                scene_io.Body(
-                    name=name,
-                    mu=self.state.bodies[self.body_index[name]].mu,
-                    position=pos,
-                    velocity=vel,
+        with self.lock:
+            for name in bodies or self.names:
+                b = self.ephemeris[name]
+                sv = b.state_vector(at)
+                if sv is None:
+                    raise ValueError(f"{name} does not cover {at}")
+                pos, vel = sv
+                out.append(
+                    scene_io.Body(
+                        name=name,
+                        mu=self.state.bodies[self.body_index[name]].mu,
+                        position=pos,
+                        velocity=vel,
+                    )
                 )
-            )
         return SolarSystemState(name=self.state.name, epoch=at, bodies=out)
 
     # -- ships / flight plans --------------------------------------------
@@ -531,7 +538,8 @@ class Universe:
                 )
             return entry.trajectory
         tab = get_method(plan.method)
-        packed = self.ephemeris.pack()
+        with self.lock:
+            packed = self.ephemeris.pack()
         timeline = plan.generate_timeline(self.body_index)
 
         if entry.trajectory is None or len(entry.trajectory.ts) == 0:
@@ -712,4 +720,5 @@ class ExplorerSession:
             self._extend_task = self.universe.extend(span, direction, background=True)
 
         ships = {n: e.trajectory for n, e in self.universe.ships.items()}
-        return evaluate_scene(self.universe.ephemeris, ships, self.clock.current)
+        with self.universe.lock:
+            return evaluate_scene(self.universe.ephemeris, ships, self.clock.current)

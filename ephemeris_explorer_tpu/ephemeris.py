@@ -49,7 +49,6 @@ from .ops.polyfit import MAX_COEFFS, fit_matrices, horner, horner_and_deriv
 # ---------------------------------------------------------------------------
 
 
-@dataclass
 class BodyEphemeris:
     """Piecewise-polynomial trajectory over uniform segments.
 
@@ -57,16 +56,38 @@ class BodyEphemeris:
     is the epoch of the first segment, every segment spans ``interval``
     seconds, and segment coefficients are ascending-power polynomials in
     tau = (t - seg_start) / interval, padded to 9 coefficients.
+
+    Concurrency: the reference shares trajectories between the merge thread
+    and render systems via ``Arc<RwLock>`` (dynamics/mod.rs:84-147).  Here the
+    mutable state is a single ``(start_s, coeffs)`` tuple published in ONE
+    assignment per mutation, so a reader racing a background PredictionTask
+    merge sees either the old or the new snapshot - never new coefficients
+    with an old start.  Readers take one snapshot per evaluation.
     """
 
-    start_s: float                   # TAI seconds of first segment start
-    interval_s: float                # segment span in seconds
-    coeffs: np.ndarray               # (S, MAX_COEFFS, 3) f64
+    __slots__ = ("interval_s", "_snap")
+
+    def __init__(self, start_s: float, interval_s: float, coeffs: np.ndarray):
+        self.interval_s = float(interval_s)     # immutable after construction
+        self._snap = (float(start_s), coeffs)   # atomically-published pair
+
+    # -- snapshot accessors ----------------------------------------------
+    @property
+    def start_s(self) -> float:
+        return self._snap[0]
+
+    @property
+    def coeffs(self) -> np.ndarray:
+        return self._snap[1]
+
+    def snapshot(self) -> tuple[float, np.ndarray]:
+        """One consistent (start_s, coeffs) view."""
+        return self._snap
 
     # -- bounds (trajectory.rs:426-447) ---------------------------------
     @property
     def segment_count(self) -> int:
-        return self.coeffs.shape[0]
+        return self._snap[1].shape[0]
 
     @property
     def span_s(self) -> float:
@@ -74,7 +95,8 @@ class BodyEphemeris:
 
     @property
     def end_s(self) -> float:
-        return self.start_s + self.span_s
+        start, coeffs = self._snap
+        return start + self.interval_s * coeffs.shape[0]
 
     @property
     def start(self) -> Epoch:
@@ -82,28 +104,31 @@ class BodyEphemeris:
 
     @property
     def end(self) -> Epoch:
-        return Epoch.from_offset_seconds(self.start_s + self.span_s)
+        return Epoch.from_offset_seconds(self.end_s)
 
     def contains(self, t: Epoch | float) -> bool:
         ts = t.as_offset_seconds() if isinstance(t, Epoch) else float(t)
-        local = ts - self.start_s
-        return local >= 0.0 and local <= self.span_s
+        start, coeffs = self._snap
+        local = ts - start
+        return local >= 0.0 and local <= self.interval_s * coeffs.shape[0]
 
     # -- indexing (trajectory.rs:552-617) --------------------------------
-    def _index_exclusive(self, local: float) -> int | None:
+    def _index_exclusive(self, local: float, nseg: int) -> int | None:
         """End-inclusive 'previous polynomial at a knot' rule."""
-        if local < 0.0 or local > self.span_s:
+        if local < 0.0 or local > self.interval_s * nseg:
             return None
         return max(int(np.ceil(local / self.interval_s)) - 1, 0)
 
     def get_polynomial(self, t: Epoch | float):
         ts = t.as_offset_seconds() if isinstance(t, Epoch) else float(t)
-        local = ts - self.start_s
-        idx = self._index_exclusive(local)
-        if idx is None or idx >= self.segment_count:
+        start, coeffs = self._snap
+        nseg = coeffs.shape[0]
+        local = ts - start
+        idx = self._index_exclusive(local, nseg)
+        if idx is None or idx >= nseg:
             return None
         tau = (local - self.interval_s * idx) / self.interval_s
-        return self.coeffs[idx], tau
+        return coeffs[idx], tau
 
     # -- evaluation ------------------------------------------------------
     def position(self, t: Epoch | float) -> np.ndarray | None:
@@ -123,66 +148,82 @@ class BodyEphemeris:
         return np.asarray(pos), np.asarray(dtau) / self.interval_s
 
     # -- mutation (trajectory.rs:484-549) --------------------------------
+    # Every mutator builds the new arrays first, then publishes the new
+    # (start_s, coeffs) pair in a single assignment.
     def push_back(self, coeffs: np.ndarray) -> None:
-        self.coeffs = np.concatenate([self.coeffs, coeffs.reshape(-1, MAX_COEFFS, 3)])
+        start, old = self._snap
+        self._snap = (start, np.concatenate([old, coeffs.reshape(-1, MAX_COEFFS, 3)]))
 
     def push_front(self, coeffs: np.ndarray) -> None:
+        start, old = self._snap
         c = coeffs.reshape(-1, MAX_COEFFS, 3)
-        self.coeffs = np.concatenate([c, self.coeffs])
-        self.start_s -= self.interval_s * c.shape[0]
+        self._snap = (
+            start - self.interval_s * c.shape[0],
+            np.concatenate([c, old]),
+        )
 
     def append(self, other: "BodyEphemeris") -> None:
-        assert abs((self.start_s + self.span_s) - other.start_s) < 1e-6
-        self.coeffs = np.concatenate([self.coeffs, other.coeffs])
+        start, old = self._snap
+        o_start, o_coeffs = other._snap
+        assert abs((start + self.interval_s * old.shape[0]) - o_start) < 1e-6
+        self._snap = (start, np.concatenate([old, o_coeffs]))
 
     def prepend(self, other: "BodyEphemeris") -> None:
-        assert abs(self.start_s - (other.start_s + other.span_s)) < 1e-6
-        self.coeffs = np.concatenate([other.coeffs, self.coeffs])
-        self.start_s = other.start_s
+        start, old = self._snap
+        o_start, o_coeffs = other._snap
+        assert abs(start - (o_start + other.interval_s * o_coeffs.shape[0])) < 1e-6
+        self._snap = (o_start, np.concatenate([o_coeffs, old]))
 
     def clear_after(self, t: Epoch | float) -> None:
-        """Truncate segments at/after `t` (trajectory.rs:544-549)."""
+        """Truncate segments at/after `t` (trajectory.rs:544-549).
+
+        Out-of-range `t` is a no-op, matching the reference: UniformSpline's
+        get_index returns None for t outside the spline, so clear_after
+        leaves the spline untouched in that case.
+        """
         ts = t.as_offset_seconds() if isinstance(t, Epoch) else float(t)
-        local = ts - self.start_s
-        if local < 0.0 or local >= self.span_s:
-            if local < 0.0:
-                self.coeffs = self.coeffs[:0]
+        start, coeffs = self._snap
+        local = ts - start
+        if local < 0.0 or local >= self.interval_s * coeffs.shape[0]:
             return
         idx = int(local / self.interval_s)
-        self.coeffs = self.coeffs[:idx]
+        self._snap = (start, coeffs[:idx])
 
     def clear_before(self, t: Epoch | float) -> None:
         """Drop segments strictly before `t` (trajectory.rs:537-542)."""
         ts = t.as_offset_seconds() if isinstance(t, Epoch) else float(t)
-        idx = self._index_exclusive(ts + self.interval_s - self.start_s)
+        start, coeffs = self._snap
+        nseg = coeffs.shape[0]
+        idx = self._index_exclusive(ts + self.interval_s - start, nseg)
         if idx is None:
             return
-        idx = min(idx, self.segment_count)
-        self.start_s += self.interval_s * idx
-        self.coeffs = self.coeffs[idx:]
+        idx = min(idx, nseg)
+        self._snap = (start + self.interval_s * idx, coeffs[idx:])
 
     def between(self, start, end) -> "BodyEphemeris | None":
         """Sub-spline covering [start, end] (trajectory.rs:484-502)."""
-        if self.segment_count == 0:
+        b_start, coeffs = self._snap
+        nseg = coeffs.shape[0]
+        if nseg == 0:
             return None
         s = start.as_offset_seconds() if isinstance(start, Epoch) else float(start)
         e = end.as_offset_seconds() if isinstance(end, Epoch) else float(end)
-        i0 = self._index_exclusive(s - self.start_s)
-        i1 = self._index_exclusive(e - self.start_s)
+        i0 = self._index_exclusive(s - b_start, nseg)
+        i1 = self._index_exclusive(e - b_start, nseg)
         if i0 is None or i1 is None:
             return None
-        i1 = min(i1, self.segment_count - 1)
+        i1 = min(i1, nseg - 1)
         return BodyEphemeris(
-            start_s=self.start_s + self.interval_s * i0,
+            start_s=b_start + self.interval_s * i0,
             interval_s=self.interval_s,
-            coeffs=self.coeffs[i0 : i1 + 1].copy(),
+            coeffs=coeffs[i0 : i1 + 1].copy(),
         )
 
     @property
     def nbytes(self) -> int:
         """Heap footprint of the coefficient store (the deepsize analogue
         surfaced in the ephemerides-debug window, debug.rs:141-146)."""
-        return int(self.coeffs.nbytes)
+        return int(self._snap[1].nbytes)
 
 
 @dataclass
@@ -226,11 +267,15 @@ class Ephemeris:
         return sum(b.nbytes for b in self.bodies.values())
 
     def pack(self) -> "PackedEphemeris":
-        starts = np.array([self.bodies[n].start_s for n in self.names])
+        # one atomic snapshot per body so a concurrent merge cannot tear
+        # a body's (start, coeffs) pair; cross-body consistency is the
+        # caller's job (Universe holds its lock around pack())
+        snaps = [self.bodies[n].snapshot() for n in self.names]
+        starts = np.array([s for s, _ in snaps])
         intervals = np.array([self.bodies[n].interval_s for n in self.names])
-        nsegs = np.array([self.bodies[n].segment_count for n in self.names], dtype=np.int64)
+        nsegs = np.array([c.shape[0] for _, c in snaps], dtype=np.int64)
         offsets = np.concatenate([[0], np.cumsum(nsegs)[:-1]])
-        flat = np.concatenate([self.bodies[n].coeffs for n in self.names])
+        flat = np.concatenate([c for _, c in snaps])
         return PackedEphemeris(
             mus=jnp.asarray(self.mus),
             starts=jnp.asarray(starts),

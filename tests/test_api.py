@@ -248,3 +248,57 @@ def test_spawn_ship_relative(uni):
     t = at.as_offset_seconds() + 43200.0
     d = np.linalg.norm(traj.position(t) - uni.ephemeris["Earth"].position(t))
     assert abs(d - r) < 200.0  # circular-ish orbit around Earth
+
+
+def test_reader_writer_hammer(uni):
+    """Tight reader loop racing a background backward extension.
+
+    The backward merge path (clear_before + prepend) is the torn-state
+    hazard: new coefficients with an old start shift every evaluation by a
+    whole chunk span.  BodyEphemeris publishes (start_s, coeffs) atomically
+    and Universe readers take the lock, so positions at a fixed epoch inside
+    the already-covered span must be bit-stable throughout.
+    """
+    t0 = uni.state.epoch
+    at = Epoch.from_offset_seconds(t0.as_offset_seconds() + 10 * 86400.0)
+    ref = uni.positions(at)
+    assert ref is not None
+
+    # small chunks -> many merge events to race against
+    from ephemeris_explorer_tpu.api import PredictionTask
+
+    prop = uni._propagator(-1)
+    n_steps = int(round(Duration.from_days(60.0).as_seconds() / prop.dt_s))
+    task = PredictionTask(
+        prop, uni.ephemeris, uni.lock, prop.steps_done + n_steps, chunk_steps=64
+    ).start()
+
+    worst = 0.0
+    reads = 0
+    while task.in_progress:
+        p = uni.positions(at)
+        assert p is not None
+        worst = max(worst, float(np.max(np.abs(p - ref))))
+        reads += 1
+        snap = uni.export_state(at)  # multi-body consistent read under lock
+        assert len(snap.bodies) == len(uni.names)
+    task.join(timeout=300)
+    assert reads > 0
+    assert worst == 0.0, f"torn read: positions drifted by {worst} km"
+    # the backward extension actually landed
+    assert uni.ephemeris.start.as_offset_seconds() < t0.as_offset_seconds()
+
+
+def test_clear_after_out_of_range_noop():
+    """UniformSpline::clear_after is a no-op for t outside the spline
+    (trajectory.rs: get_index returns None for t < start)."""
+    from ephemeris_explorer_tpu.ephemeris import BodyEphemeris
+
+    coeffs = np.zeros((4, 9, 3))
+    b = BodyEphemeris(start_s=100.0, interval_s=10.0, coeffs=coeffs)
+    b.clear_after(0.0)  # before start: reference semantics = untouched
+    assert b.segment_count == 4
+    b.clear_after(1000.0)  # after end: untouched
+    assert b.segment_count == 4
+    b.clear_after(120.0)  # in range: truncates
+    assert b.segment_count == 2
