@@ -92,6 +92,14 @@ class Duration:
         return Duration(float(s))
 
     @staticmethod
+    def from_nanoseconds(v: float) -> "Duration":
+        return Duration(v * SEC_PER_NANO)
+
+    @staticmethod
+    def from_microseconds(v: float) -> "Duration":
+        return Duration(v * SEC_PER_MICRO)
+
+    @staticmethod
     def from_milliseconds(v: float) -> "Duration":
         return Duration(v * SEC_PER_MILLI)
 

@@ -32,6 +32,7 @@ OK = 0
 BOUND_REACHED = 1
 STEP_SIZE_UNDERFLOW = 2
 MAX_ITERATIONS = 3
+EVAL_FAILED = 4  # non-finite RHS/error (StepError::EvalFailed, problem.rs:114)
 
 
 @dataclass(frozen=True)
@@ -41,7 +42,7 @@ class AdaptiveParams:
     h_init: float = 60.0
     h_max: float = 1.7976931348623157e308
     tol_pos: float = 1e-3   # km   (1 m; load/mod.rs:476-480)
-    tol_vel: float = 1e-3   # km/s (1 mm/s is 1e-6; reference app uses 1e-3)
+    tol_vel: float = 1e-3   # km/s (1 m/s; load/mod.rs:476-480)
     fac_min: float = 0.2
     fac_max: float = 5.0
     fac: float = 0.9
@@ -134,17 +135,22 @@ def advance(
         next_h: jax.Array
         n: jax.Array
         accepted: jax.Array
+        failed: jax.Array
         h_used: jax.Array
         y_new: Any
         cache_new: Any
 
     def cond(lp: Loop):
-        return jnp.logical_and(~lp.accepted, lp.n <= params.n_max)
+        return (~lp.accepted) & (~lp.failed) & (lp.n <= params.n_max)
 
     def body(lp: Loop):
         h = jnp.minimum(lp.next_h, bound - state.t)
         y_new, err_vec, cache_new = _attempt(tab, f, state.t, state.y, h, state.cache)
         err = err_norm(y_new, err_vec)
+        # a non-finite error means the RHS itself failed (e.g. a degenerate
+        # TNB burn frame); abort immediately like EvalFailed rather than
+        # burning n_max rejected attempts
+        failed = ~jnp.isfinite(err)
         m = params.fac * err ** (-1.0 / k_order)
         nh = h * jnp.clip(m, params.fac_min, params.fac_max)
         nh = jnp.minimum(nh, params.h_max)
@@ -153,6 +159,7 @@ def advance(
             next_h=nh,
             n=lp.n + 1,
             accepted=accepted,
+            failed=failed,
             h_used=h,
             y_new=y_new,
             cache_new=cache_new,
@@ -164,6 +171,7 @@ def advance(
         next_h=state.next_h,
         n=state.n,
         accepted=jnp.logical_or(pre_bound, pre_underflow),
+        failed=jnp.asarray(False),
         h_used=jnp.asarray(0.0, jnp.float64),
         y_new=state.y,
         cache_new=state.cache,
@@ -176,7 +184,11 @@ def advance(
         jnp.where(
             pre_underflow,
             STEP_SIZE_UNDERFLOW,
-            jnp.where(lp.accepted, OK, MAX_ITERATIONS),
+            jnp.where(
+                lp.failed,
+                EVAL_FAILED,
+                jnp.where(lp.accepted, OK, MAX_ITERATIONS),
+            ),
         ),
     )
     ok = status == OK

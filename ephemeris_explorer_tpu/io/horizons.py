@@ -27,7 +27,7 @@ from pathlib import Path
 
 import numpy as np
 
-from ..ftime import Duration, Epoch, SEC_PER_DAY
+from ..ftime import Duration, Epoch
 from .naif_ids import NAIF_IDS, NAIF_NAMES
 from .scene import Body, SolarSystemState, state_to_json
 
@@ -72,15 +72,32 @@ def _to_iso(epoch: Epoch) -> str:
     return s.replace(" ", "T")
 
 
-def _parse_csv_line(line: str):
-    """One $$SOE CSV row: JDTDB, date, x, y, z, vx, vy, vz, ..."""
-    parts = [p.strip() for p in line.split(",")]
-    jd_tt = float(parts[0])
-    # JD(TT) -> TAI epoch
-    from ..ftime import JD_TAI_EPOCH
+_HORIZONS_MONTHS = {
+    "Jan": "01", "Feb": "02", "Mar": "03", "Apr": "04", "May": "05",
+    "Jun": "06", "Jul": "07", "Aug": "08", "Sep": "09", "Oct": "10",
+    "Nov": "11", "Dec": "12",
+}
 
-    t_tt = (jd_tt - JD_TAI_EPOCH) * SEC_PER_DAY
-    epoch = Epoch.from_offset_seconds(t_tt - TT_MINUS_TAI)
+
+def _from_horizons_date(date_str: str) -> Epoch:
+    """Parse 'A.D. 1950-Jan-01 00:00:00.0000' (lib.rs from_horizons_date).
+
+    The calendar-date column honors TIME_TYPE=TT; the first (JDTDB) column
+    is in the TDB timescale and would carry a periodic ~1.7 ms TDB-TT error,
+    so the reference — and we — parse this column instead.
+    """
+    _, _, rest = date_str.partition(" ")
+    i = rest.find("-") + 1
+    mon = rest[i : i + 3]
+    return Epoch.parse(rest[: i] + _HORIZONS_MONTHS[mon] + rest[i + 3 :])
+
+
+def _parse_csv_line(line: str):
+    """One $$SOE CSV row: JDTDB, date(TT), x, y, z, vx, vy, vz, ..."""
+    parts = [p.strip() for p in line.split(",")]
+    epoch = Epoch.from_offset_seconds(
+        _from_horizons_date(parts[1]).as_offset_seconds() - TT_MINUS_TAI
+    )
     vec = [float(v) for v in parts[2:8]]
     return epoch, np.array(vec[:3]), np.array(vec[3:6])
 

@@ -136,6 +136,13 @@ def tnb_to_inertial(rel_pos, rel_vel, accel):
 
     TNB basis (dynamics/spacecraft.rs:246-252): x = v_hat,
     y = (r x v)_hat, z = x cross y; matrix columns (x, z, y).
+
+    Degenerate geometry (zero relative velocity or collinear r, v) yields a
+    NaN acceleration, which the adaptive driver detects as a non-finite
+    error norm and aborts the step with ``EVAL_FAILED`` — the functional
+    equivalent of ``TNB::try_new`` returning ``None`` and failing the step
+    (dynamics/spacecraft.rs:242-253); the propagation flushes the knots
+    accumulated so far instead of silently continuing with a bad frame.
     """
     x = rel_vel / jnp.linalg.norm(rel_vel)
     y = jnp.cross(rel_pos, rel_vel)
@@ -463,11 +470,25 @@ def propagate_ship(
     ship: Ship,
     until: Epoch | None = None,
     max_knots: int = 16384,
+    body_index: dict[str, int] | None = None,
 ) -> HermiteTrajectory:
-    """Full mission propagation of one ship (spacecraft_propagation.rs path)."""
-    packed = ephemeris.pack() if not isinstance(ephemeris, PackedEphemeris) else ephemeris
-    names = ephemeris.names if not isinstance(ephemeris, PackedEphemeris) else None
-    index = {n: i for i, n in enumerate(names)} if names else None
+    """Full mission propagation of one ship (spacecraft_propagation.rs path).
+
+    `body_index` (name -> packed body row) is required only when `ephemeris`
+    is a bare :class:`PackedEphemeris` (which carries no names) AND the ship
+    has body-relative burns.
+    """
+    if isinstance(ephemeris, PackedEphemeris):
+        packed = ephemeris
+        index = body_index
+        if index is None and any(b.reference is not None for b in ship.burns):
+            raise ValueError(
+                "PackedEphemeris carries no body names; pass body_index= "
+                "to propagate a ship with body-relative burns"
+            )
+    else:
+        packed = ephemeris.pack()
+        index = {n: i for i, n in enumerate(ephemeris.names)}
     tl = build_timeline(ship.burns, index)
     params = ship_params(ship)
     end = (until or ship.end).as_offset_seconds()

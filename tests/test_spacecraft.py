@@ -245,6 +245,52 @@ def test_inertial_frame_burn(sem_eph):
     assert abs(dv[1] - 1.0) < 2e-2 and abs(dv[0]) < 5e-2 and abs(dv[2]) < 5e-2
 
 
+def test_degenerate_tnb_frame_fails_cleanly(sem_eph):
+    """A relative burn with zero relative velocity must stop the propagation
+    (EVAL_FAILED), not poison the trajectory with NaNs — mirrors
+    TNB::try_new returning None (dynamics/spacecraft.rs:242-253)."""
+    from ephemeris_explorer_tpu.io.scene import Ship
+
+    sc, eph = sem_eph
+    t0 = sc.state.epoch.as_offset_seconds()
+    earth_p, earth_v = eph["Earth"].state_vector(t0)
+    ship = Ship(
+        name="Degenerate",
+        integrator="Verner87",
+        tolerance=1e-3,
+        start=Epoch.from_offset_seconds(t0),
+        end=Epoch.from_offset_seconds(t0 + 86400.0),
+        position=earth_p + np.array([7000.0, 0.0, 0.0]),
+        velocity=earth_v,  # zero velocity RELATIVE to Earth -> degenerate TNB
+        burns=[_burn(t0, 600.0, [1e-3, 0.0, 0.0], "Earth")],
+    )
+    traj = propagate_ship(eph, ship)
+    # propagation aborted at/near start; whatever was flushed is finite
+    assert traj.end_s < t0 + 86400.0
+    assert np.all(np.isfinite(traj.pos)) and np.all(np.isfinite(traj.vel))
+
+
+def test_packed_ephemeris_relative_burn_requires_index(sem_eph):
+    sc, eph = sem_eph
+    packed = eph.pack()
+    ship = sc.ships[0]
+    from ephemeris_explorer_tpu.io.scene import Ship
+
+    burned = Ship(
+        **{
+            **ship.__dict__,
+            "name": "NeedsIndex",
+            "burns": [_burn(ship.start.as_offset_seconds() + 60.0, 10.0, [1e-3, 0, 0], "Earth")],
+        }
+    )
+    with pytest.raises(ValueError, match="body_index"):
+        propagate_ship(packed, burned)
+    # works when the index is supplied
+    index = {n: i for i, n in enumerate(eph.names)}
+    traj = propagate_ship(packed, burned, body_index=index)
+    assert traj.end_s > traj.start_s
+
+
 def test_ship_across_scene_epoch(sem_eph):
     """A ship starting BEFORE the scene epoch flies on the merged fwd+bwd
     ephemeris (bidirectional coverage)."""
