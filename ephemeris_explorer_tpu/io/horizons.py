@@ -18,8 +18,6 @@ Rebuilds the reference's ``horizons_solar_system`` crate and the
 from __future__ import annotations
 
 import hashlib
-import json
-import re
 import urllib.parse
 import urllib.request
 from functools import lru_cache
@@ -102,21 +100,9 @@ def _parse_csv_line(line: str):
     return epoch, np.array(vec[:3]), np.array(vec[3:6])
 
 
-def fetch_body(
-    naif_id: int | str,
-    start: Epoch,
-    end: Epoch,
-    step: Duration,
-    cache_dir: str | Path | None = None,
-    offline: bool = False,
-):
-    """[(epoch, Body)] vectors from Horizons (lib.rs:68-121), with caching."""
-    if isinstance(naif_id, str):
-        name = naif_id
-        naif_id = NAIF_IDS[naif_id]
-    else:
-        name = NAIF_NAMES.get(naif_id, str(naif_id))
-
+def request_url(naif_id: int, start: Epoch, end: Epoch, step: Duration) -> str:
+    """The exact Horizons API request (lib.rs:75-98): VECTORS, SSB center,
+    ICRF frame, KM-S units, TT times."""
     params = {
         "format": "text",
         "MAKE_EPHEM": "YES",
@@ -135,13 +121,51 @@ def fetch_body(
         "VEC_CORR": "NONE",
         "CSV_FORMAT": "YES",
     }
-    url = HORIZONS_URL + "?" + urllib.parse.urlencode(params)
+    return HORIZONS_URL + "?" + urllib.parse.urlencode(params)
+
+
+def cache_path_for(cache_dir: str | Path, url: str) -> Path:
+    """On-disk cache location for a request (the bincode-cache analogue of
+    ephemeris/tests/common/mod.rs:10-92, keyed by the request hash)."""
+    key = hashlib.sha256(url.encode()).hexdigest()[:24]
+    return Path(cache_dir) / f"horizons_{key}.txt"
+
+
+def parse_response(text: str, naif_id: int, name: str):
+    """Parse a Horizons text response into [(epoch, Body)] (lib.rs:100-121)."""
+    i = text.find("$$SOE")
+    j = text.find("$$EOE")
+    if i < 0 or j < 0:
+        raise ValueError(f"Horizons response missing SOE/EOE: {text[:400]}")
+    mu = gravitational_parameters()[naif_id]
+    out = []
+    for line in text[i + 6 : j - 1].splitlines():
+        epoch, pos, vel = _parse_csv_line(line)
+        out.append((epoch, Body(name=name, mu=mu, position=pos, velocity=vel)))
+    return out
+
+
+def fetch_body(
+    naif_id: int | str,
+    start: Epoch,
+    end: Epoch,
+    step: Duration,
+    cache_dir: str | Path | None = None,
+    offline: bool = False,
+):
+    """[(epoch, Body)] vectors from Horizons (lib.rs:68-121), with caching."""
+    if isinstance(naif_id, str):
+        name = naif_id
+        naif_id = NAIF_IDS[naif_id]
+    else:
+        name = NAIF_NAMES.get(naif_id, str(naif_id))
+
+    url = request_url(naif_id, start, end, step)
 
     text = None
     cache_path = None
     if cache_dir is not None:
-        key = hashlib.sha256(url.encode()).hexdigest()[:24]
-        cache_path = Path(cache_dir) / f"horizons_{key}.txt"
+        cache_path = cache_path_for(cache_dir, url)
         if cache_path.exists():
             text = cache_path.read_text()
     if text is None:
@@ -153,16 +177,7 @@ def fetch_body(
             cache_path.parent.mkdir(parents=True, exist_ok=True)
             cache_path.write_text(text)
 
-    i = text.find("$$SOE")
-    j = text.find("$$EOE")
-    if i < 0 or j < 0:
-        raise ValueError(f"Horizons response missing SOE/EOE: {text[:400]}")
-    mu = gravitational_parameters()[naif_id]
-    out = []
-    for line in text[i + 6 : j - 1].splitlines():
-        epoch, pos, vel = _parse_csv_line(line)
-        out.append((epoch, Body(name=name, mu=mu, position=pos, velocity=vel)))
-    return out
+    return parse_response(text, naif_id, name)
 
 
 def fetch_solar_system(
