@@ -85,3 +85,29 @@ def test_jpl_comparison():
     for inner in ("Venus", "Earth", "Moon", "Mars"):
         assert worst[inner] < 100.0, (inner, worst[inner])
     assert worst["Mercury"] < 200.0
+
+
+@pytest.mark.slow
+def test_real_jpl_76_year_endpoints():
+    """Offline REAL-data gate: integrate full_solar_system from the bundled
+    1950-01-01 Horizons snapshot for 76 years and compare Sun/Earth/Moon
+    against the bundled real snapshot at JD 2461041.5
+    (systems/sun_earth_moon_2461041.5).  The residual is dominated by the
+    Newtonian point-mass model (relativistic precession, asteroids) — the
+    bounds catch gross integrator/mu/frame regressions, the same role as
+    jpl_comparison.rs's inner-planet budget over 1 year.
+
+    dt = 1 h: the endpoint differs from the dt = 10 min run by < 10 km
+    (model error dominates; measured with tools/accuracy_audit.py --oracle).
+    """
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from accuracy_audit import oracle_76y
+
+    errs = oracle_76y("plain", dt=3600.0, verbose=False)
+    # measured (expansion engine, dt=600): Sun 12.7 km, Earth 4523 km,
+    # Moon 3287 km; thresholds leave ~2x headroom over model error
+    assert errs["Sun"] < 50.0, errs
+    assert errs["Earth"] < 10_000.0, errs
+    assert errs["Moon"] < 10_000.0, errs

@@ -1,0 +1,284 @@
+"""Accuracy audit: regenerate the docs/ACCURACY.md tables from scratch.
+
+Truth is a double-double (TwoFloat over real f64) QT12 integration on the
+CPU backend — the same device as the reference's ``Double<T>`` convergence
+fixture (/root/reference/ephemeris/tests/solar_system_convergence.rs:12-110).
+Candidate engines run on the process default backend (the TPU when present)
+and are compared against the truth at every checkpoint.
+
+Modes
+-----
+ref64       plain f64 state (elm2_step) pinned to CPU — reproduces the Rust
+            reference's numerics (same IEEE f64 multistep arithmetic)
+plain       plain f64 state on the default backend (TPU: ~2^-48 emulated)
+expansion   quad-f32 expansion state + f64 force (elm2_step_q)
+expansion3  expansion state + 3-limb Pallas force (error-free pair deltas)
+expansionF  expansion state + FULL 3-limb force (3-limb r^2/rsqrt/mu chain)
+
+Examples
+--------
+CI-sized (also the pytest gate, tests/test_accuracy_gate.py)::
+
+    python tools/accuracy_audit.py --scene full_solar_system_2433282.5 \
+        --days 60 --checkpoints 2 --modes ref64,expansion
+
+The ACCURACY.md century table (hours of CPU truth; run on a TPU host)::
+
+    python tools/accuracy_audit.py --years 100 --checkpoints 10 \
+        --modes expansion,expansion3,expansionF --csv docs/accuracy_100y.csv
+
+The 76-year REAL-JPL oracle (integrates full_solar_system from the bundled
+1950-01-01 Horizons snapshot and compares Sun/Earth/Moon against the bundled
+real 2026 snapshot systems/sun_earth_moon_2461041.5)::
+
+    python tools/accuracy_audit.py --oracle --modes expansion
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ephemeris_explorer_tpu import Duration, Epoch  # noqa: E402
+from ephemeris_explorer_tpu.integrators import get, multistep  # noqa: E402
+from ephemeris_explorer_tpu.io import scene  # noqa: E402
+from ephemeris_explorer_tpu.ops import expansion as ex  # noqa: E402
+from ephemeris_explorer_tpu.ops import nbody  # noqa: E402
+
+# Sun + planet(-barycenter)s: the "planets only" rows of the table.
+PLANETS = {
+    "Sun", "Mercury", "Venus", "Earth", "Mars", "Jupiter", "Saturn",
+    "Uranus", "Neptune", "Pluto", "JupiterBarycenter", "SaturnBarycenter",
+    "UranusBarycenter", "NeptuneBarycenter", "PlutoBarycenter",
+}
+
+
+def _chunk_runner(mode: str, tab, mu, t0, pos, vel, h, chunk_steps: int, device):
+    """(carry, step_chunk, extract_pos) for one engine mode."""
+    mu = jax.device_put(jnp.asarray(mu), device)
+
+    def accel(t, y):
+        return nbody.pairwise_accel(y, mu)
+
+    accel_limbs = None
+    if mode in ("expansion3", "expansionF"):
+        from ephemeris_explorer_tpu.ops import pallas_nbody as pk
+
+        n = mu.shape[0]
+        mu_hi, mu_lo = pk.split_f64(jnp.asarray(mu).reshape(1, n))
+        if mode == "expansion3":
+            def accel_limbs(t, limbs):  # noqa: E306
+                return pk.pairwise_accel_limbs(limbs[0], limbs[1], limbs[2], mu_hi, mu_lo)
+        else:
+            def accel_limbs(t, limbs):  # noqa: E306
+                return pk.pairwise_accel_full3(limbs[0], limbs[1], limbs[2], mu_hi, mu_lo)
+
+    with jax.default_device(device):
+        t0 = jnp.asarray(t0, jnp.float64)
+        pos = jnp.asarray(pos)
+        vel = jnp.asarray(vel)
+        if mode == "dd":
+            carry = multistep.elm2_init_c(tab, accel, t0, pos, vel, h)
+            step = lambda c: multistep.elm2_step_c(tab, accel, h, c)  # noqa: E731
+            extract = lambda c: np.asarray(c.ys.hi[0]) + np.asarray(c.ys.lo[0])  # noqa: E731
+        elif mode in ("ref64", "plain"):
+            carry = multistep.elm2_init(tab, accel, t0, pos, vel, h)
+            step = lambda c: multistep.elm2_step(tab, accel, h, c)  # noqa: E731
+            extract = lambda c: np.asarray(c.ys[0])  # noqa: E731
+        elif mode in ("expansion", "expansion3", "expansionF"):
+            carry = multistep.elm2_init_q(tab, accel, t0, pos, vel, h)
+            step = lambda c: multistep.elm2_step_q(  # noqa: E731
+                tab, accel, h, c, accel_limbs=accel_limbs
+            )
+            extract = lambda c: sum(  # noqa: E731
+                np.asarray(l[0], dtype=np.float64) for l in c.ys
+            )
+        else:
+            raise ValueError(mode)
+
+    @jax.jit
+    def run_chunk(c):
+        def body(c, _):
+            return step(c), None
+
+        c, _ = jax.lax.scan(body, c, None, length=chunk_steps)
+        return c
+
+    return carry, run_chunk, extract
+
+
+def audit(
+    scene_name: str,
+    total_steps: int,
+    checkpoints: int,
+    modes: list[str],
+    dt: float | None = None,
+    verbose: bool = True,
+) -> dict:
+    """Integrate truth + candidate modes; return per-checkpoint max errors.
+
+    Returns {mode: [(sim_days, max_err_km_all, max_err_km_planets), ...]}.
+    """
+    sc = scene.load_scene(REPO / "systems" / scene_name)
+    state = sc.state
+    h = float(dt if dt is not None else sc.settings.dt.as_seconds())
+    tab = get("QuinlanTremaine12")
+    names = [b.name for b in state.bodies]
+    planet_rows = np.array([n in PLANETS for n in names])
+
+    chunk = max((total_steps - tab.order) // checkpoints, 1)
+    n_chunks = (total_steps - tab.order) // chunk
+
+    cpu = jax.devices("cpu")[0]
+    default = jax.devices()[0]
+
+    runs = {}
+    for mode in ["dd"] + modes:
+        device = cpu if mode in ("dd", "ref64") else default
+        t_start = time.time()
+        carry, run_chunk, extract = _chunk_runner(
+            mode, tab, state.mus(), state.epoch.as_offset_seconds(),
+            state.positions(), state.velocities(), h, chunk, device,
+        )
+        traj = []
+        for k in range(n_chunks):
+            carry = run_chunk(carry)
+            traj.append(extract(carry))
+            if verbose:
+                el = time.time() - t_start
+                print(
+                    f"  [{mode}] checkpoint {k + 1}/{n_chunks} "
+                    f"({(tab.order + (k + 1) * chunk) * abs(h) / 86400.0:.1f} d, "
+                    f"{el:.1f} s elapsed)",
+                    file=sys.stderr,
+                )
+        runs[mode] = np.stack(traj)  # (n_chunks, N, 3)
+
+    truth = runs.pop("dd")
+    out = {}
+    for mode, traj in runs.items():
+        rows = []
+        for k in range(truth.shape[0]):
+            err = np.linalg.norm(traj[k] - truth[k], axis=-1)  # (N,)
+            days = (tab.order + (k + 1) * chunk) * abs(h) / 86400.0
+            rows.append(
+                (days, float(np.max(err)), float(np.max(err[planet_rows])))
+            )
+        out[mode] = rows
+    return out
+
+
+def oracle_76y(mode: str, dt: float = 600.0, verbose: bool = True) -> dict:
+    """Integrate full_solar_system 1950 -> JD 2461041.5 (27,759 d) and compare
+    Sun/Earth/Moon against the bundled REAL Horizons snapshot at that epoch.
+
+    This is an external-data gate like jpl_comparison.rs:56-117, but offline:
+    both endpoint snapshots ship with the reference.  The residual is
+    dominated by the Newtonian point-mass model (relativistic precession,
+    asteroids), not by integrator roundoff — expect O(1e3..1e4 km) on Earth.
+    """
+    sc = scene.load_scene(REPO / "systems" / "full_solar_system_2433282.5")
+    target = scene.load_state(
+        REPO / "systems" / "sun_earth_moon_2461041.5" / "state.json"
+    )
+    state = sc.state
+    span_s = target.epoch.as_offset_seconds() - state.epoch.as_offset_seconds()
+    total_steps = int(round(span_s / dt))
+    assert abs(total_steps * dt - span_s) < 1e-6, "dt must divide the span"
+
+    tab = get("QuinlanTremaine12")
+    device = jax.devices("cpu")[0] if mode == "ref64" else jax.devices()[0]
+    n_chunks = 16
+    chunk = (total_steps - tab.order) // n_chunks
+    rem = (total_steps - tab.order) - chunk * n_chunks
+
+    carry, run_chunk, extract = _chunk_runner(
+        mode, tab, state.mus(), state.epoch.as_offset_seconds(),
+        state.positions(), state.velocities(), dt, chunk, device,
+    )
+    t_start = time.time()
+    for k in range(n_chunks):
+        carry = run_chunk(carry)
+        if verbose:
+            print(
+                f"  [{mode}] {k + 1}/{n_chunks} ({time.time() - t_start:.1f} s)",
+                file=sys.stderr,
+            )
+    if rem:
+        _, run_rem, extract = _chunk_runner(
+            mode, tab, state.mus(), 0.0, state.positions(), state.velocities(),
+            dt, rem, device,
+        )
+        carry = run_rem(carry)
+    final = extract(carry)
+
+    names = [b.name for b in state.bodies]
+    errs = {}
+    for tb in target.bodies:
+        i = names.index(tb.name)
+        errs[tb.name] = float(np.linalg.norm(final[i] - tb.position))
+    return errs
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--scene", default="full_solar_system_2433282.5")
+    p.add_argument("--years", type=float, default=None)
+    p.add_argument("--days", type=float, default=None)
+    p.add_argument("--dt", type=float, default=None, help="step seconds (default: scene dt)")
+    p.add_argument("--checkpoints", type=int, default=4)
+    p.add_argument("--modes", default="ref64,expansion")
+    p.add_argument("--csv", default=None)
+    p.add_argument("--json", dest="json_out", default=None)
+    p.add_argument("--oracle", action="store_true", help="76-year real-JPL endpoint check")
+    args = p.parse_args(argv)
+    modes = args.modes.split(",")
+
+    if args.oracle:
+        for mode in modes:
+            errs = oracle_76y(mode, dt=float(args.dt or 600.0))
+            print(f"oracle 1950->2026 (76.0 y, REAL JPL endpoints), mode={mode}:")
+            for name, e in errs.items():
+                print(f"  {name:8s} {e:12.1f} km")
+        return 0
+
+    if args.days is None and args.years is None:
+        args.years = 1.0
+    span_s = (args.years * 365.25 * 86400.0) if args.years else args.days * 86400.0
+    sc = scene.load_scene(REPO / "systems" / args.scene)
+    h = float(args.dt if args.dt is not None else sc.settings.dt.as_seconds())
+    total_steps = int(round(span_s / h))
+
+    res = audit(args.scene, total_steps, args.checkpoints, modes, dt=args.dt)
+
+    print(f"# scene={args.scene} dt={h:.0f}s steps={total_steps} "
+          f"truth=dd128(QT12,cpu)")
+    print(f"{'mode':12s} {'sim_days':>9s} {'max_all_km':>12s} {'max_planets_km':>14s}")
+    rows_csv = []
+    for mode, rows in res.items():
+        for days, e_all, e_pl in rows:
+            print(f"{mode:12s} {days:9.1f} {e_all:12.6f} {e_pl:14.6f}")
+            rows_csv.append((mode, days, e_all, e_pl))
+    if args.csv:
+        with open(args.csv, "w") as f:
+            f.write("mode,sim_days,max_all_km,max_planets_km\n")
+            for r in rows_csv:
+                f.write(f"{r[0]},{r[1]:.2f},{r[2]:.9f},{r[3]:.9f}\n")
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump({m: r for m, r in res.items()}, f)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
