@@ -71,17 +71,19 @@ def _chunk_runner(mode: str, tab, mu, t0, pos, vel, h, chunk_steps: int, device)
         return nbody.pairwise_accel(y, mu)
 
     accel_limbs = None
-    if mode in ("expansion3", "expansionF"):
+    if mode == "expansion3":
         from ephemeris_explorer_tpu.ops import pallas_nbody as pk
 
         n = mu.shape[0]
         mu_hi, mu_lo = pk.split_f64(jnp.asarray(mu).reshape(1, n))
-        if mode == "expansion3":
-            def accel_limbs(t, limbs):  # noqa: E306
-                return pk.pairwise_accel_limbs(limbs[0], limbs[1], limbs[2], mu_hi, mu_lo)
-        else:
-            def accel_limbs(t, limbs):  # noqa: E306
-                return pk.pairwise_accel_full3(limbs[0], limbs[1], limbs[2], mu_hi, mu_lo)
+
+        def accel_limbs(t, limbs):
+            return pk.pairwise_accel_limbs(limbs[0], limbs[1], limbs[2], mu_hi, mu_lo)
+    elif mode == "expansionF":
+        from ephemeris_explorer_tpu.ops.nbody_full3 import pairwise_accel_full3
+
+        def accel_limbs(t, limbs):
+            return pairwise_accel_full3(limbs[0], limbs[1], limbs[2], mu)
 
     with jax.default_device(device):
         t0 = jnp.asarray(t0, jnp.float64)
