@@ -561,19 +561,19 @@ class Universe:
             else:
                 sv = got
 
-        from .spacecraft import PropagationResult, _jitted_propagate_batch
-        import jax as _jax
+        from .spacecraft import propagate_resuming
 
-        fn = _jitted_propagate_batch(plan.method, plan.params, max_knots)
-        r = fn(
+        piece, reason = propagate_resuming(
+            plan.method,
             packed,
-            _jax.tree_util.tree_map(lambda x: x[None], timeline),
-            jnp.asarray([t0]),
-            jnp.asarray(sv[0])[None],
-            jnp.asarray(sv[1])[None],
-            jnp.asarray([plan.end.as_offset_seconds()]),
+            timeline,
+            t0,
+            sv[0],
+            sv[1],
+            plan.end.as_offset_seconds(),
+            plan.params,
+            max_knots=max_knots,
         )
-        piece = HermiteTrajectory.from_result(PropagationResult(*(x[0] for x in r)))
         if entry.trajectory is None or len(entry.trajectory.ts) == 0 or t0 <= entry.trajectory.start_s:
             entry.trajectory = piece
         else:

@@ -175,7 +175,13 @@ def manoeuvre_accel(eph: PackedEphemeris, t, pos, vel, accel, kind, body):
 # termination reasons
 DONE_END = 0          # reached requested end
 DONE_KNOTS_FULL = 1   # knot buffer exhausted
-DONE_ERROR = 2        # step-size underflow / max iterations
+DONE_ERROR = 2        # step-size underflow / max iterations / eval failed
+
+REASON_NAMES = {
+    DONE_END: "end-reached",
+    DONE_KNOTS_FULL: "knot-buffer-full",
+    DONE_ERROR: "step-error",
+}
 
 
 class PropagationResult(NamedTuple):
@@ -465,6 +471,83 @@ def ship_params(ship: Ship, h_init: float = 60.0, n_max: int = 1_000_000) -> Ada
     )
 
 
+def propagate_resuming(
+    method: str,
+    packed: PackedEphemeris,
+    tl: Timeline,
+    t0: float,
+    pos0,
+    vel0,
+    end_s: float,
+    params: AdaptiveParams,
+    max_knots: int = 16384,
+    max_resumes: int = 1024,
+) -> tuple[HermiteTrajectory, int]:
+    """Propagate one ship, resuming whenever the knot buffer fills.
+
+    The reference's prediction task keeps stepping an incremental propagator
+    until the bound and treats a step error as "end here, flush what we
+    have" (prediction.rs:429-432).  The jitted driver has a STATIC knot
+    buffer instead, so a long mission can fill it (DONE_KNOTS_FULL); this
+    wrapper restarts from the last emitted knot (a fresh adaptive state at
+    st.t — the same reset the integrator performs at every burn edge,
+    spacecraft.rs:599-615) until the requested end, a real error, or no
+    progress.  Returns (trajectory, final reason).
+    """
+    import logging
+
+    logger = logging.getLogger("ephemeris_explorer_tpu")
+    fn = _jitted_propagate_batch(method, params, max_knots)
+    tl_b = jax.tree_util.tree_map(lambda x: x[None], tl)
+    traj: HermiteTrajectory | None = None
+    reason = DONE_END
+    cur_t = float(t0)
+    cur_p = np.asarray(pos0, dtype=np.float64)
+    cur_v = np.asarray(vel0, dtype=np.float64)
+    for _ in range(max_resumes):
+        r = fn(
+            packed,
+            tl_b,
+            jnp.asarray([cur_t]),
+            jnp.asarray(cur_p)[None],
+            jnp.asarray(cur_v)[None],
+            jnp.asarray([end_s]),
+        )
+        res = PropagationResult(*(x[0] for x in r))
+        piece = HermiteTrajectory.from_result(res)
+        reason = int(res.reason)
+        if traj is None:
+            traj = piece
+        elif len(piece.ts) > 1:
+            # first knot duplicates the resume point
+            traj.extend(
+                HermiteTrajectory(ts=piece.ts[1:], pos=piece.pos[1:], vel=piece.vel[1:])
+            )
+        if reason != DONE_KNOTS_FULL:
+            break
+        if len(piece.ts) < 2:  # no forward progress: avoid spinning
+            reason = DONE_ERROR
+            break
+        cur_t = float(piece.ts[-1])
+        cur_p, cur_v = piece.pos[-1], piece.vel[-1]
+        if cur_t >= end_s:
+            reason = DONE_END
+            break
+        logger.info(
+            "knot buffer full at t=%s; resuming (%d knots so far)",
+            cur_t,
+            len(traj.ts),
+        )
+    if reason == DONE_ERROR:
+        logger.warning(
+            "propagation stopped early (%s) at t=%s (requested end %s)",
+            REASON_NAMES[reason],
+            traj.end_s if traj is not None and len(traj.ts) else cur_t,
+            end_s,
+        )
+    return traj, reason
+
+
 def propagate_ship(
     ephemeris,
     ship: Ship,
@@ -492,18 +575,18 @@ def propagate_ship(
     tl = build_timeline(ship.burns, index)
     params = ship_params(ship)
     end = (until or ship.end).as_offset_seconds()
-    fn = _jitted_propagate_batch(ship.integrator, params, max_knots)
-    r = fn(
+    traj, _ = propagate_resuming(
+        ship.integrator,
         packed,
-        jax.tree_util.tree_map(lambda x: x[None], tl),
-        jnp.asarray([ship.start.as_offset_seconds()]),
-        jnp.asarray(ship.position)[None],
-        jnp.asarray(ship.velocity)[None],
-        jnp.asarray([end]),
+        tl,
+        ship.start.as_offset_seconds(),
+        ship.position,
+        ship.velocity,
+        end,
+        params,
+        max_knots=max_knots,
     )
-    return HermiteTrajectory.from_result(
-        PropagationResult(*(x[0] for x in r))
-    )
+    return traj
 
 
 # ---------------------------------------------------------------------------

@@ -291,6 +291,45 @@ def test_packed_ephemeris_relative_burn_requires_index(sem_eph):
     assert traj.end_s > traj.start_s
 
 
+def test_knot_buffer_exhaustion_resumes(sem_eph):
+    """A mission that overflows a tiny knot buffer must resume in chunks and
+    still cover the full requested span (prediction.rs:429-432 flush-on-error
+    semantics + incremental continuation), matching the large-buffer result
+    to within the integration tolerance."""
+    sc, eph = sem_eph
+    ship = sc.ships[0]
+    small = propagate_ship(eph, ship, max_knots=256)
+    big = propagate_ship(eph, ship, max_knots=16384)
+    assert len(small.ts) > 256  # actually resumed past the buffer
+    assert abs(small.end_s - big.end_s) < 1.0
+    for frac in (0.25, 0.5, 0.9):
+        t = big.start_s + frac * (big.end_s - big.start_s)
+        pa, pb = small.position(t), big.position(t)
+        assert pa is not None and pb is not None
+        # restart resets the adaptive step sequence, so the per-step 1 m
+        # tolerance compounds along the orbit; bound the divergence at the
+        # sub-km level (measured ~0.2 km mid-mission on this LEO-type orbit)
+        assert np.max(np.abs(pa - pb)) < 1.0, frac
+
+
+def test_replan_with_tiny_knot_buffer(sem_eph):
+    """Universe.replan must deliver full coverage even when max_knots is far
+    below the mission's knot count."""
+    from ephemeris_explorer_tpu.api import Universe
+
+    sc, _ = sem_eph
+    uni = Universe(sc)
+    uni.generate(Duration.from_days(40.0))
+    uni.spawn_ship(sc.ships[0], propagate_now=False)
+    traj = uni.replan(sc.ships[0].name, max_knots=256)
+    end = min(
+        sc.ships[0].end.as_offset_seconds(),
+        uni.ephemeris.end.as_offset_seconds(),
+    )
+    assert traj.end_s >= end - 1.0
+    assert len(traj.ts) > 256
+
+
 def test_ship_across_scene_epoch(sem_eph):
     """A ship starting BEFORE the scene epoch flies on the merged fwd+bwd
     ephemeris (bidirectional coverage)."""
