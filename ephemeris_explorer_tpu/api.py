@@ -313,8 +313,8 @@ class ShipEntry:
     last_timeline: Timeline | None = None
     last_method: str | None = None
     last_params: AdaptiveParams | None = None
-    transitions: list[tuple[float, int]] = field(default_factory=list)
-    apsides: list[events.Apsis] = field(default_factory=list)
+    transitions: events.SoiTransitions = field(default_factory=events.SoiTransitions)
+    apsides: events.Apsides = field(default_factory=events.Apsides)
 
 
 logger = logging.getLogger("ephemeris_explorer_tpu")
@@ -574,7 +574,12 @@ class Universe:
             plan.params,
             max_knots=max_knots,
         )
-        if entry.trajectory is None or len(entry.trajectory.ts) == 0 or t0 <= entry.trajectory.start_s:
+        full_restart = (
+            entry.trajectory is None
+            or len(entry.trajectory.ts) == 0
+            or t0 <= entry.trajectory.start_s
+        )
+        if full_restart:
             entry.trajectory = piece
         else:
             entry.trajectory.join(piece)
@@ -582,10 +587,26 @@ class Universe:
         entry.last_method = plan.method
         entry.last_params = plan.params
 
-        entry.transitions = events.soi_transitions(
-            entry.trajectory, packed, self.soi.radii
-        )
-        entry.apsides = events.apsides(entry.trajectory, packed, entry.transitions)
+        if full_restart or len(entry.transitions) == 0:
+            entry.transitions = events.SoiTransitions(
+                events.soi_transitions(entry.trajectory, packed, self.soi.radii)
+            )
+            entry.apsides = events.Apsides(
+                events.apsides(entry.trajectory, packed, entry.transitions)
+            )
+        else:
+            # incremental maintenance (SoiTransitions/Apsides clear_after +
+            # insert, dynamics/spacecraft.rs:331-361,427-446): events strictly
+            # before the restart are preserved, only the recomputed span's
+            # events are re-detected over the new piece
+            entry.transitions.clear_after(t0)
+            entry.transitions.extend(
+                events.soi_transitions(piece, packed, self.soi.radii)
+            )
+            entry.apsides.clear_after(t0)
+            entry.apsides.extend(
+                events.apsides(piece, packed, entry.transitions)
+            )
         return entry.trajectory
 
     def ship_segments(self, name: str) -> list[analysis.PlotSegment]:

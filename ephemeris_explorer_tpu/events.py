@@ -48,6 +48,123 @@ class Apsis:
     periapsis: bool
 
 
+class SoiTransitions:
+    """Sorted (time, body) transition list with incremental maintenance.
+
+    Mirrors ``SoiTransitions`` (dynamics/spacecraft.rs:302-379): ``insert``
+    replaces an exact-time entry, dedups against the predecessor's body and
+    keeps the list sorted; ``clear_after(t)`` keeps entries with time <= t;
+    ``extend`` is insert-each.  List-like for existing consumers.
+    """
+
+    __slots__ = ("entries",)
+
+    def __init__(self, entries=None):
+        self.entries: list[tuple[float, int]] = list(entries or [])
+
+    # -- list-like --------------------------------------------------------
+    def __iter__(self):
+        return iter(self.entries)
+
+    def __len__(self):
+        return len(self.entries)
+
+    def __getitem__(self, i):
+        return self.entries[i]
+
+    def __eq__(self, other):
+        return list(self) == list(other)
+
+    def __repr__(self):
+        return f"SoiTransitions({self.entries!r})"
+
+    # -- queries (spacecraft.rs:308-329) ----------------------------------
+    def _search(self, time: float) -> tuple[bool, int]:
+        import bisect
+
+        i = bisect.bisect_left([t for t, _ in self.entries], time)
+        found = i < len(self.entries) and self.entries[i][0] == time
+        return found, i
+
+    def soi_at_idx(self, time: float) -> int | None:
+        found, i = self._search(time)
+        if found:
+            return i
+        return None if i == 0 else i - 1
+
+    def soi_at(self, time: float) -> int | None:
+        i = self.soi_at_idx(time)
+        return None if i is None else self.entries[i][1]
+
+    # -- mutation (spacecraft.rs:331-361) ----------------------------------
+    def insert(self, time: float, body: int) -> None:
+        found, i = self._search(time)
+        if found:
+            self.entries[i] = (time, body)
+        elif i > 0 and self.entries[i - 1][1] == body:
+            pass  # dedup against predecessor
+        else:
+            self.entries.insert(i, (time, body))
+
+    def clear_after(self, time: float) -> None:
+        found, i = self._search(time)
+        del self.entries[i + 1 if found else i :]
+
+    def clear_before(self, time: float) -> None:
+        _, i = self._search(time)
+        del self.entries[:i]
+
+    def extend(self, other) -> None:
+        for time, body in other:
+            self.insert(time, body)
+
+
+class Apsides:
+    """Sorted apsis list with clear_after/extend (spacecraft.rs:412-446)."""
+
+    __slots__ = ("entries",)
+
+    def __init__(self, entries=None):
+        self.entries: list[Apsis] = list(entries or [])
+
+    def __iter__(self):
+        return iter(self.entries)
+
+    def __len__(self):
+        return len(self.entries)
+
+    def __getitem__(self, i):
+        return self.entries[i]
+
+    def __eq__(self, other):
+        return list(self) == list(other)
+
+    def __repr__(self):
+        return f"Apsides({self.entries!r})"
+
+    def _search(self, time: float) -> tuple[bool, int]:
+        import bisect
+
+        i = bisect.bisect_left([a.time for a in self.entries], time)
+        found = i < len(self.entries) and self.entries[i].time == time
+        return found, i
+
+    def insert(self, apsis: Apsis) -> None:
+        found, i = self._search(apsis.time)
+        if found:
+            self.entries[i] = apsis
+        else:
+            self.entries.insert(i, apsis)
+
+    def clear_after(self, time: float) -> None:
+        found, i = self._search(time)
+        del self.entries[i + 1 if found else i :]
+
+    def extend(self, other) -> None:
+        for a in other:
+            self.insert(a)
+
+
 def hermite_eval_batch(knot_ts, knot_pos, knot_vel, ts):
     """Vectorised cubic-Hermite evaluation of the ship trajectory.
 

@@ -115,6 +115,92 @@ def test_replan_incremental(uni):
     assert traj2.end_s >= traj1.end_s - 1.0
 
 
+def test_replan_preserves_pre_restart_events(uni):
+    """Incremental replans maintain the event containers with clear_after +
+    insert (dynamics/spacecraft.rs:331-361,427-446): events strictly before
+    the restart epoch survive OBJECT-IDENTICALLY, not recomputed."""
+    ship = uni.scene.ships[0]
+    entry = uni.spawn_ship(ship, propagate_now=False)
+    span = ship.end.as_offset_seconds() - ship.start.as_offset_seconds()
+    # an existing early burn so a later change restarts AFTER it (adding a
+    # burn to a burn-less plan always diverges at the first coast segment
+    # and is a legitimate full restart)
+    t_b1 = ship.start.as_offset_seconds() + 0.2 * span
+    entry.plan.add_burn(
+        Burn(
+            start=Epoch.from_offset_seconds(t_b1),
+            duration=Duration.from_seconds(60.0),
+            acceleration=np.array([5e-4, 0, 0]),
+            reference="Earth",
+        )
+    )
+    uni.replan(ship.name)
+    traj1 = entry.trajectory
+    assert len(entry.transitions) >= 1
+    assert len(entry.apsides) >= 1
+
+    # restart epoch will be the end of burn 1 (the last common timeline event)
+    t_restart = t_b1 + 60.0
+    t_burn2 = traj1.start_s + 0.8 * (traj1.end_s - traj1.start_s)
+    pre_tr = [e for e in entry.transitions if e[0] <= t_restart]
+    pre_ap = [a for a in entry.apsides if a.time <= t_restart]
+    pre_tr_ids = [id(e) for e in pre_tr]
+    pre_ap_ids = [id(a) for a in pre_ap]
+    assert pre_ap, "fixture ship should have apsides before the restart"
+
+    entry.plan.add_burn(
+        Burn(
+            start=Epoch.from_offset_seconds(t_burn2),
+            duration=Duration.from_seconds(60.0),
+            acceleration=np.array([1e-3, 0, 0]),
+            reference="Earth",
+        )
+    )
+    uni.replan(ship.name)
+    # everything at/before the restart must be the same tuples/objects
+    got_tr = [e for e in entry.transitions if e[0] <= t_restart]
+    got_ap = [a for a in entry.apsides if a.time <= t_restart]
+    assert [id(e) for e in got_tr][: len(pre_tr_ids)] == pre_tr_ids
+    assert [id(a) for a in got_ap][: len(pre_ap_ids)] == pre_ap_ids
+    # containers stay sorted and deduped after the merge
+    ts = [e[0] for e in entry.transitions]
+    assert ts == sorted(ts)
+    bodies = [b for _, b in entry.transitions]
+    assert all(bodies[i] != bodies[i + 1] for i in range(len(bodies) - 1))
+    ats = [a.time for a in entry.apsides]
+    assert ats == sorted(ats)
+
+
+def test_event_containers_unit():
+    """Container semantics vs spacecraft.rs:302-446."""
+    from ephemeris_explorer_tpu.events import Apsides, Apsis, SoiTransitions
+
+    tr = SoiTransitions()
+    tr.insert(10.0, 1)
+    tr.insert(20.0, 2)
+    tr.insert(15.0, 2)   # dedup: predecessor at 10.0 is body 1 -> inserted
+    assert list(tr) == [(10.0, 1), (15.0, 2), (20.0, 2)]
+    tr2 = SoiTransitions()
+    tr2.insert(10.0, 1)
+    tr2.insert(12.0, 1)  # dedup against predecessor body
+    assert list(tr2) == [(10.0, 1)]
+    assert tr.soi_at(14.9) == 1 and tr.soi_at(15.0) == 2 and tr.soi_at(5.0) is None
+    tr.clear_after(15.0)  # keeps exact match
+    assert list(tr) == [(10.0, 1), (15.0, 2)]
+    tr.insert(15.0, 3)    # exact-time replace
+    assert list(tr) == [(10.0, 1), (15.0, 3)]
+    tr.clear_before(15.0)
+    assert list(tr) == [(15.0, 3)]
+
+    ap = Apsides()
+    a1 = Apsis(5.0, 0, 100.0, True)
+    a2 = Apsis(9.0, 0, 200.0, False)
+    ap.extend([a2, a1])
+    assert list(ap) == [a1, a2]
+    ap.clear_after(5.0)
+    assert list(ap) == [a1]
+
+
 def test_ship_analysis(uni):
     ship = uni.scene.ships[0]
     uni.spawn_ship(ship)
