@@ -675,18 +675,27 @@ def interpolation_error(
         return jax.lax.scan(body, c, None, length=steps)
 
     _, (ts, ys) = run(carry)
-    ts, ys = np.asarray(ts), np.asarray(ys)
+    ts_s, ys_s = ts[::stride], ys[::stride]
 
-    worst = {n: 0.0 for n in ephemeris.names}
-    for t, y in zip(ts[::stride], ys[::stride]):
-        for i, n in enumerate(ephemeris.names):
-            p = ephemeris[n].position(float(t))
-            if p is None:
-                continue
-            err_m = float(np.linalg.norm(p - y[i])) * 1e3
-            if err_m > worst[n]:
-                worst[n] = err_m
-    return worst
+    # one batched device pass over all (sample, body) pairs instead of a
+    # host Horner eval per pair: vmap the packed spline evaluation
+    packed = ephemeris.pack()
+
+    @jax.jit
+    def spline_positions(t_batch):
+        return jax.vmap(packed.positions)(t_batch)        # (M, N, 3)
+
+    spl = np.asarray(spline_positions(ts_s))
+    err_m = np.linalg.norm(spl - np.asarray(ys_s), axis=-1) * 1e3  # (M, N)
+
+    # mask samples outside each body's coverage (packed eval clamps instead
+    # of returning None, so apply the bounds host-side)
+    ts_np = np.asarray(ts_s)
+    starts = np.asarray(packed.starts)
+    ends = starts + np.asarray(packed.intervals) * np.asarray(packed.nsegs)
+    valid = (ts_np[:, None] >= starts[None, :]) & (ts_np[:, None] <= ends[None, :])
+    err_m = np.where(valid, err_m, 0.0)
+    return {n: float(err_m[:, i].max(initial=0.0)) for i, n in enumerate(ephemeris.names)}
 
 
 class ExplorerSession:

@@ -356,47 +356,71 @@ def _fit_chunk_pass(all_ys, samp, counts, fit_ms, n0, n_new, chunk_off, out):
     samples preceding the chunk.  Segment SAMPLE COUNTS are static (baked into
     the jit key via `n_new`); sample positions are gathered with dynamic
     indices from the chunk rows or the ring, fitted with the precomputed
-    least-squares matrices in one einsum per body, and written at static
-    offsets.  Replaces a per-step scatter solout with one dense pass.
+    least-squares matrices, and written at static offsets.  Replaces a
+    per-step scatter solout with one dense pass.
+
+    Bodies are GROUPED by their static (count, n_new, fit-matrix) config and
+    each group is processed in one batched gather + broadcast-reduce, so the
+    trace size scales with the number of distinct configs, not with N
+    (full_solar_system: 12 groups for 32 bodies; synthetic large-N systems:
+    one group).
     """
     L = all_ys.shape[0]
     nb = len(counts)
     n0 = jnp.asarray(n0, jnp.int64)
-    ring_rows = []
+
+    groups: dict[tuple, list[int]] = {}
     for b in range(nb):
-        cb = int(counts[b])
-        nn = int(n_new[b])
+        key = (int(counts[b]), int(n_new[b]), fit_ms[b].tobytes())
+        groups.setdefault(key, []).append(b)
+
+    new_ring = samp.ring
+    for (cb, nn, _), bodies in groups.items():
+        g = jnp.asarray(np.asarray(bodies))
+        ys_g = all_ys[:, np.asarray(bodies)]                      # (L, |G|, 3)
         if nn > 0:
             m0 = (n0 // cb) // DIV
-            k_idx = DIV * m0 + jnp.arange(DIV * nn + 1)         # sample indices
-            steps = k_idx * cb                                   # global steps
+            k_idx = DIV * m0 + jnp.arange(DIV * nn + 1)          # sample indices
+            steps = k_idx * cb                                    # global steps
             in_chunk = steps > n0
             chunk_rows = jnp.clip(steps - n0 - 1, 0, L - 1)
-            from_chunk = all_ys[chunk_rows, b]                   # (S, 3)
-            from_ring = samp.ring[b, k_idx % DIV]                # (S, 3)
-            samples = jnp.where(in_chunk[:, None], from_chunk, from_ring)
+            from_chunk = ys_g[chunk_rows]                         # (S, |G|, 3)
+            # ring: (N, DIV, 3) -> (S, |G|, 3)
+            from_ring = jnp.transpose(
+                samp.ring[np.asarray(bodies)][:, k_idx % DIV], (1, 0, 2)
+            )
+            samples = jnp.where(in_chunk[:, None, None], from_chunk, from_ring)
             # window segments: (nn, 9) static gather
             win = np.arange(nn)[:, None] * DIV + np.arange(DIV + 1)[None, :]
-            seg_samples = samples[jnp.asarray(win)]              # (nn, 9, 3)
+            seg_samples = samples[jnp.asarray(win)]               # (nn, 9, |G|, 3)
             # broadcast-reduce instead of einsum: a f64 dot_general lowers to
             # the slow emulated-matmul path on TPU
-            m_b = jnp.asarray(fit_ms[b])                          # (9, 9)
+            m_g = jnp.asarray(fit_ms[bodies[0]])                  # (9, 9)
             coeffs = jnp.sum(
-                m_b[None, :, :, None] * seg_samples[:, None, :, :], axis=2
+                m_g[None, :, :, None, None] * seg_samples[:, None, :, :, :],
+                axis=2,
+            )                                                     # (nn, 9, |G|, 3)
+            # rows for body b occupy [chunk_off[b], chunk_off[b] + nn)
+            rows = np.concatenate(
+                [np.arange(chunk_off[b], chunk_off[b] + nn) for b in bodies]
             )
-            out = jax.lax.dynamic_update_slice_in_dim(
-                out, coeffs, int(chunk_off[b]), axis=0
-            )
+            flat = jnp.transpose(coeffs, (2, 0, 1, 3)).reshape(-1, MAX_COEFFS, 3)
+            out = out.at[jnp.asarray(rows)].set(flat)
+
         # ring update, vectorised over slots: the latest sample k with
         # k % 8 == j inside this chunk (keep the old entry if none landed)
         k_max = (n0 + L) // cb
         js = jnp.arange(DIV)
         ks = k_max - ((k_max - js) % DIV)
         steps_r = ks * cb
-        rows = jnp.clip(steps_r - n0 - 1, 0, L - 1)
+        rows_r = jnp.clip(steps_r - n0 - 1, 0, L - 1)
         fresh = (steps_r > n0) & (ks >= 0)
-        ring_rows.append(jnp.where(fresh[:, None], all_ys[rows, b], samp.ring[b]))
-    new_ring = jnp.stack(ring_rows)
+        ring_g = jnp.where(
+            fresh[None, :, None],
+            jnp.transpose(ys_g[rows_r], (1, 0, 2)),               # (|G|, DIV, 3)
+            samp.ring[np.asarray(bodies)],
+        )
+        new_ring = new_ring.at[g].set(ring_g)
     return new_ring, out
 
 
