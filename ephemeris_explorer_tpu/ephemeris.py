@@ -458,8 +458,11 @@ class NBodyPropagator:
     ):
         """precision: "f64" (reference-equivalent; CPU-exact), "extended"
         (quad-f32 expansion position state - the TPU long-horizon mode, see
-        integrators.multistep.elm2_step_q), or "auto" (extended on TPU where
-        plain f64 is 2^-48 emulation, f64 elsewhere)."""
+        integrators.multistep.elm2_step_q), "extended3" (expansion state +
+        3-limb Pallas force with error-free pair differences), "extendedF"
+        (expansion state + full tf96 force, the highest-accuracy engine; see
+        docs/ACCURACY.md), or "auto" (extended on TPU where plain f64 is
+        2^-48 emulation, f64 elsewhere)."""
         names = [b.name for b in state.bodies]
         missing = [n for n in names if n not in settings.settings]
         if missing:
@@ -471,7 +474,7 @@ class NBodyPropagator:
             precision = (
                 "extended" if jax.default_backend() in ("tpu", "axon") else "f64"
             )
-        if precision not in ("f64", "extended"):
+        if precision not in ("f64", "extended", "extended3", "extendedF"):
             raise ValueError(precision)
         self.precision = precision
         self.spec = GenSpec(method=method, h=h, counts=counts, degrees=degrees)
@@ -580,11 +583,27 @@ def _chunk_fn(spec: "GenSpec", precision: str, n_scan: int, startup: bool, n_new
     h = spec.h
     counts = spec.counts
     fit_ms = np.asarray(fit_matrices(spec.degrees, backward=spec.backward))
-    extended = precision == "extended"
+    extended = precision in ("extended", "extended3", "extendedF")
 
     def chunk(mu, carry: GenCarry | None, init_y, init_dy, t0, n0, out):
         def accel(t, y):
             return nbody.pairwise_accel(y, mu)
+
+        accel_limbs = None
+        if precision == "extended3":
+            from .ops import pallas_nbody as _pk
+
+            mu_hi, mu_lo = _pk.split_f64(mu.reshape(1, -1))
+
+            def accel_limbs(t, limbs):  # noqa: F811
+                return _pk.pairwise_accel_limbs(
+                    limbs[0], limbs[1], limbs[2], mu_hi, mu_lo
+                )
+        elif precision == "extendedF":
+            from .ops.nbody_full3 import pairwise_accel_full3 as _full3
+
+            def accel_limbs(t, limbs):  # noqa: F811
+                return _full3(limbs[0], limbs[1], limbs[2], mu)
 
         if startup:
             ring0 = jnp.zeros((len(counts), DIV, 3), dtype=jnp.float64)
@@ -607,7 +626,7 @@ def _chunk_fn(spec: "GenSpec", precision: str, n_scan: int, startup: bool, n_new
 
         def body(ms, _):
             if extended:
-                ms = elm2_step_q(tab, accel, h, ms)
+                ms = elm2_step_q(tab, accel, h, ms, accel_limbs=accel_limbs)
                 y_now = ex.to_f64(tuple(l[0] for l in ms.ys))
             else:
                 ms = elm2_step(tab, accel, h, ms)

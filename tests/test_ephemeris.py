@@ -161,6 +161,19 @@ def test_extended_precision_generation(sem):
     assert np.max(np.abs(p1 - p2)) < 1e-3  # < 1 m (f64 path own roundoff)
 
 
+def test_full3_precision_generation(sem):
+    """precision="extendedF" (full tf96 force) agrees with "extended" to the
+    sub-metre inter-engine divergence level over 40 days (the two engines
+    round the force differently; docs/ACCURACY.md quantifies both against
+    the dd truth)."""
+    span = Duration.from_days(40.0)
+    e1 = generate_ephemeris(sem.state, sem.settings, span, precision="extended")
+    e2 = generate_ephemeris(sem.state, sem.settings, span, precision="extendedF")
+    t = sem.state.epoch.as_offset_seconds() + 20 * 86400.0
+    p1, p2 = e1.positions(t), e2.positions(t)
+    assert np.max(np.abs(p1 - p2)) < 1e-3  # < 1 m
+
+
 def test_spline_boundary_rule_exact():
     """At interior knots the PREVIOUS polynomial is used (trajectory.rs:563)."""
     from ephemeris_explorer_tpu.ephemeris import BodyEphemeris
