@@ -432,6 +432,7 @@ class GenSpec:
     h: float                         # signed step (seconds); negative = backward
     counts: tuple[int, ...]          # per-body sample stride in steps
     degrees: tuple[int, ...]
+    perturbations: tuple = ()        # ops.perturbations specs (hashable)
 
     @property
     def backward(self) -> bool:
@@ -455,6 +456,7 @@ class NBodyPropagator:
         direction: int = +1,
         method: str = "QuinlanTremaine12",
         precision: str = "auto",
+        perturbations: tuple = (),
     ):
         """precision: "f64" (reference-equivalent; CPU-exact), "extended"
         (quad-f32 expansion position state - the TPU long-horizon mode, see
@@ -462,7 +464,10 @@ class NBodyPropagator:
         3-limb Pallas force with error-free pair differences), "extendedF"
         (expansion state + full tf96 force, the highest-accuracy engine; see
         docs/ACCURACY.md), or "auto" (extended on TPU where plain f64 is
-        2^-48 emulation, f64 elsewhere)."""
+        2^-48 emulation, f64 elsewhere).
+
+        perturbations: tuple of ops.perturbations specs (hashable); empty =
+        the reference's Newtonian point-mass model."""
         names = [b.name for b in state.bodies]
         missing = [n for n in names if n not in settings.settings]
         if missing:
@@ -477,7 +482,10 @@ class NBodyPropagator:
         if precision not in ("f64", "extended", "extended3", "extendedF"):
             raise ValueError(precision)
         self.precision = precision
-        self.spec = GenSpec(method=method, h=h, counts=counts, degrees=degrees)
+        self.spec = GenSpec(
+            method=method, h=h, counts=counts, degrees=degrees,
+            perturbations=tuple(perturbations),
+        )
         self.names = names
         self.mus = state.mus()
         self.dt_s = settings.dt.as_seconds()
@@ -584,10 +592,21 @@ def _chunk_fn(spec: "GenSpec", precision: str, n_scan: int, startup: bool, n_new
     counts = spec.counts
     fit_ms = np.asarray(fit_matrices(spec.degrees, backward=spec.backward))
     extended = precision in ("extended", "extended3", "extendedF")
+    pert = None
+    if spec.perturbations:
+        from .ops import perturbations as _perts
+
+        pert = _perts.build(spec.perturbations)
 
     def chunk(mu, carry: GenCarry | None, init_y, init_dy, t0, n0, out):
-        def accel(t, y):
-            return nbody.pairwise_accel(y, mu)
+        if pert is None:
+            def accel(t, y):
+                return nbody.pairwise_accel(y, mu)
+        else:
+            def accel(t, y, dy):
+                return nbody.pairwise_accel(y, mu) + pert(t, y, dy, mu)
+
+            accel.needs_velocity = True
 
         accel_limbs = None
         if precision == "extended3":
@@ -595,15 +614,30 @@ def _chunk_fn(spec: "GenSpec", precision: str, n_scan: int, startup: bool, n_new
 
             mu_hi, mu_lo = _pk.split_f64(mu.reshape(1, -1))
 
-            def accel_limbs(t, limbs):  # noqa: F811
+            def _base_limbs(limbs):
                 return _pk.pairwise_accel_limbs(
                     limbs[0], limbs[1], limbs[2], mu_hi, mu_lo
                 )
         elif precision == "extendedF":
             from .ops.nbody_full3 import pairwise_accel_full3 as _full3
 
-            def accel_limbs(t, limbs):  # noqa: F811
+            def _base_limbs(limbs):
                 return _full3(limbs[0], limbs[1], limbs[2], mu)
+
+        if precision in ("extended3", "extendedF"):
+            if pert is None:
+                def accel_limbs(t, limbs):  # noqa: F811
+                    return _base_limbs(limbs)
+            else:
+                def accel_limbs(t, limbs, dy):  # noqa: F811
+                    y64 = (
+                        limbs[2].astype(jnp.float64)
+                        + limbs[1].astype(jnp.float64)
+                        + limbs[0].astype(jnp.float64)
+                    )
+                    return _base_limbs(limbs) + pert(t, y64, dy, mu)
+
+                accel_limbs.needs_velocity = True
 
         if startup:
             ring0 = jnp.zeros((len(counts), DIV, 3), dtype=jnp.float64)
@@ -657,6 +691,7 @@ def generate_ephemeris(
     method: str = "QuinlanTremaine12",
     chunk_steps: int | None = None,
     precision: str = "auto",
+    perturbations: tuple = (),
 ) -> Ephemeris:
     """Generate a full system ephemeris over `span` (one direction).
 
@@ -665,7 +700,8 @@ def generate_ephemeris(
     sampling/fitting, assembled into UniformSpline-equivalent containers.
     """
     prop = NBodyPropagator(
-        state, settings, direction=direction, method=method, precision=precision
+        state, settings, direction=direction, method=method,
+        precision=precision, perturbations=perturbations,
     )
     n_steps = int(round(abs(span.as_seconds()) / prop.dt_s))
     chunk = chunk_steps or min(n_steps, 65536)

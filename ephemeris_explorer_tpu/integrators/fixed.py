@@ -27,6 +27,18 @@ def _axpy(c, x, y):
     return tree_map(lambda xi, yi: yi + c * xi, x, y)
 
 
+def eval_accel(accel, t, y, dy):
+    """Evaluate a second-order RHS.
+
+    An ``accel`` marked with ``needs_velocity = True`` also receives the
+    current velocity — used for weak velocity-dependent perturbations
+    (ops/perturbations.py, e.g. the 1PN term) while the Stoermer-type state
+    update itself remains y'' = f(t, y)."""
+    if getattr(accel, "needs_velocity", False):
+        return accel(t, y, dy)
+    return accel(t, y)
+
+
 def erk_step(tab: ERKTableau, f, t, y, h, k0=None):
     """One explicit RK step.
 
@@ -83,7 +95,7 @@ def srkn_step(tab: SRKNTableau, accel, t, y, dy, h, ddy0=None):
         if s == 0 and tab.fsal and ddy0 is not None:
             ddy = ddy0
         else:
-            ddy = accel(t + h * tab.c[s], y)
+            ddy = eval_accel(accel, t + h * tab.c[s], y, dy)
         if tab.b[s] != 0.0:
             dy = _axpy(h * tab.b[s], ddy, dy)
         if tab.a[s] != 0.0:

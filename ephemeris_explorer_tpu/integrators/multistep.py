@@ -28,7 +28,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .fixed import erk_step, srkn_step
+from .fixed import erk_step, eval_accel, srkn_step
 from .methods import ELMTableau, get
 
 
@@ -80,7 +80,7 @@ def elm2_startup_scan(tab: ELMTableau, accel, t0, y0, dy0, h):
     t0 = jnp.asarray(t0, jnp.float64)
 
     if starter.fsal:
-        ddy0 = accel(t0, y0)
+        ddy0 = eval_accel(accel, t0, y0, dy0)
 
         def substep(c, _):
             t, y, dy, ddy = c
@@ -106,9 +106,9 @@ def elm2_startup_scan(tab: ELMTableau, accel, t0, y0, dy0, h):
         def fullstep(c, _):
             c, _ = jax.lax.scan(substep, c, None, length=tab.substeps)
             t, y, dy, ddy = c
-            return c, (y, accel(t, y))
+            return c, (y, eval_accel(accel, t, y, dy))
 
-        init = (t0, y0, dy0, accel(t0, y0))
+        init = (t0, y0, dy0, eval_accel(accel, t0, y0, dy0))
 
     (t, y, dy, _), (ys, ddys) = jax.lax.scan(fullstep, init, None, length=tab.order)
     return t, dy, ys, ddys
@@ -143,7 +143,9 @@ def elm2_step(tab: ELMTableau, accel, h, carry: ELM2Carry) -> ELM2Carry:
     y_new = sum1 + sum2 * (h * h / tab.beta_d)
     t_new = carry.t + h
 
-    ddy_new = accel(t_new, y_new)
+    # a needs_velocity RHS sees the carry velocity (one step stale; fine for
+    # ~1e-8-scale perturbation terms, see ops/perturbations.py)
+    ddy_new = eval_accel(accel, t_new, y_new, carry.dy)
 
     ddys_new = jnp.concatenate([ddy_new[None], carry.ddys[: tab.order - 1]])
     vel_sum = wsum(cb, ddys_new)
@@ -259,7 +261,7 @@ def _srkn_step_c(tab, accel, t, y: TwoFloat, dy: TwoFloat, h, ddy0):
         if s == 0 and tab.fsal and ddy0 is not None:
             ddy = ddy0
         else:
-            ddy = accel(t + h * tab.c[s], y.hi)
+            ddy = eval_accel(accel, t + h * tab.c[s], y.hi, dy.hi)
         if tab.b[s] != 0.0:
             dy = eft.add(dy, eft.from_float(ddy * (h * tab.b[s])))
         if tab.a[s] != 0.0:
@@ -274,7 +276,7 @@ def elm2_init_c(tab: ELMTableau, accel, t0, y0, dy0, h) -> ELM2CarryC:
     t0 = jnp.asarray(t0, jnp.float64)
     y = eft.from_float(jnp.asarray(y0))
     dy = eft.from_float(jnp.asarray(dy0))
-    ddy0 = accel(t0, y.hi) if starter.fsal else None
+    ddy0 = eval_accel(accel, t0, y.hi, dy.hi) if starter.fsal else None
 
     def substep(c, _):
         t, y, dy, ddy = c
@@ -284,10 +286,10 @@ def elm2_init_c(tab: ELMTableau, accel, t0, y0, dy0, h) -> ELM2CarryC:
     def fullstep(c, _):
         c, _ = jax.lax.scan(substep, c, None, length=tab.substeps)
         t, y, dy, ddy = c
-        a = ddy if starter.fsal else accel(t, y.hi)
+        a = ddy if starter.fsal else eval_accel(accel, t, y.hi, dy.hi)
         return c, (y, a)
 
-    init = (t0, y, dy, ddy0 if ddy0 is not None else accel(t0, y.hi))
+    init = (t0, y, dy, ddy0 if ddy0 is not None else eval_accel(accel, t0, y.hi, dy.hi))
     (t, y, dy, _), (ys, ddys) = jax.lax.scan(fullstep, init, None, length=tab.order)
     return ELM2CarryC(
         t=t,
@@ -304,7 +306,7 @@ def elm2_step_c(tab: ELMTableau, accel, h, carry: ELM2CarryC) -> ELM2CarryC:
     y_new = eft.add(sum1, eft.from_float(sum2 * (h * h / tab.beta_d)))
     t_new = carry.t + h
 
-    ddy_new = accel(t_new, y_new.hi)
+    ddy_new = eval_accel(accel, t_new, y_new.hi, carry.dy.hi)
 
     ddys_new = jnp.concatenate([ddy_new[None], carry.ddys[: tab.order - 1]])
     vel_sum = _f64_wsum(tab.cowell_beta_n, ddys_new)
@@ -370,7 +372,7 @@ def _srkn_step_q(tab, accel, t, y: tuple, dy, h, ddy0):
         if s == 0 and tab.fsal and ddy0 is not None:
             ddy = ddy0
         else:
-            ddy = accel(t + h * tab.c[s], ex.to_f64(y))
+            ddy = eval_accel(accel, t + h * tab.c[s], ex.to_f64(y), dy)
         if tab.b[s] != 0.0:
             dy = dy + ddy * (h * tab.b[s])
         if tab.a[s] != 0.0:
@@ -385,7 +387,7 @@ def elm2_init_q(tab: ELMTableau, accel, t0, y0, dy0, h) -> ELM2CarryQ:
     t0 = jnp.asarray(t0, jnp.float64)
     y = ex.from_f64(jnp.asarray(y0))
     dy = jnp.asarray(dy0)
-    ddy0 = accel(t0, ex.to_f64(y)) if starter.fsal else None
+    ddy0 = eval_accel(accel, t0, ex.to_f64(y), dy) if starter.fsal else None
 
     def substep(c, _):
         t, y, dy, ddy = c
@@ -397,10 +399,13 @@ def elm2_init_q(tab: ELMTableau, accel, t0, y0, dy0, h) -> ELM2CarryQ:
     def fullstep(c, _):
         c, _ = jax.lax.scan(substep, c, None, length=tab.substeps)
         t, y, dy, ddy = c
-        a = ddy if starter.fsal else accel(t, ex.to_f64(y))
+        a = ddy if starter.fsal else eval_accel(accel, t, ex.to_f64(y), dy)
         return c, (y, a)
 
-    init = (t0, y, dy, ddy0 if ddy0 is not None else accel(t0, ex.to_f64(y)))
+    init = (
+        t0, y, dy,
+        ddy0 if ddy0 is not None else eval_accel(accel, t0, ex.to_f64(y), dy),
+    )
     (t, y, dy, _), (ys, ddys) = jax.lax.scan(fullstep, init, None, length=tab.order)
     return ELM2CarryQ(
         t=t,
@@ -427,9 +432,12 @@ def elm2_step_q(
     t_new = carry.t + h
 
     if accel_limbs is not None:
-        ddy_new = accel_limbs(t_new, (y_new[0], y_new[1], y_new[2]))
+        if getattr(accel_limbs, "needs_velocity", False):
+            ddy_new = accel_limbs(t_new, (y_new[0], y_new[1], y_new[2]), carry.dy)
+        else:
+            ddy_new = accel_limbs(t_new, (y_new[0], y_new[1], y_new[2]))
     else:
-        ddy_new = accel(t_new, ex.to_f64(y_new))
+        ddy_new = eval_accel(accel, t_new, ex.to_f64(y_new), carry.dy)
 
     ddys_new = jnp.concatenate([ddy_new[None], carry.ddys[: tab.order - 1]])
     vel_sum = _f64_wsum(tab.cowell_beta_n, ddys_new)

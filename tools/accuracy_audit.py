@@ -63,12 +63,25 @@ PLANETS = {
 }
 
 
-def _chunk_runner(mode: str, tab, mu, t0, pos, vel, h, chunk_steps: int, device):
+def _chunk_runner(
+    mode: str, tab, mu, t0, pos, vel, h, chunk_steps: int, device, pert_specs=()
+):
     """(carry, step_chunk, extract_pos) for one engine mode."""
     mu = jax.device_put(jnp.asarray(mu), device)
 
-    def accel(t, y):
-        return nbody.pairwise_accel(y, mu)
+    if pert_specs:
+        from ephemeris_explorer_tpu.ops import perturbations as _perts
+
+        pert = _perts.build(tuple(pert_specs))
+
+        def accel(t, y, dy):
+            return nbody.pairwise_accel(y, mu) + pert(t, y, dy, mu)
+
+        accel.needs_velocity = True
+    else:
+
+        def accel(t, y):
+            return nbody.pairwise_accel(y, mu)
 
     accel_limbs = None
     if mode == "expansion3":
@@ -180,7 +193,9 @@ def audit(
     return out
 
 
-def oracle_76y(mode: str, dt: float = 600.0, verbose: bool = True) -> dict:
+def oracle_76y(
+    mode: str, dt: float = 600.0, verbose: bool = True, pn: bool = False
+) -> dict:
     """Integrate full_solar_system 1950 -> JD 2461041.5 (27,759 d) and compare
     Sun/Earth/Moon against the bundled REAL Horizons snapshot at that epoch.
 
@@ -204,9 +219,17 @@ def oracle_76y(mode: str, dt: float = 600.0, verbose: bool = True) -> dict:
     chunk = (total_steps - tab.order) // n_chunks
     rem = (total_steps - tab.order) - chunk * n_chunks
 
+    pert_specs = ()
+    if pn:
+        from ephemeris_explorer_tpu.ops import perturbations as _perts
+
+        names_all = [b.name for b in state.bodies]
+        pert_specs = (_perts.spec_schwarzschild(names_all.index("Sun")),)
+
     carry, run_chunk, extract = _chunk_runner(
         mode, tab, state.mus(), state.epoch.as_offset_seconds(),
         state.positions(), state.velocities(), dt, chunk, device,
+        pert_specs=pert_specs,
     )
     t_start = time.time()
     for k in range(n_chunks):
@@ -229,6 +252,13 @@ def oracle_76y(mode: str, dt: float = 600.0, verbose: bool = True) -> dict:
     for tb in target.bodies:
         i = names.index(tb.name)
         errs[tb.name] = float(np.linalg.norm(final[i] - tb.position))
+    # geocentric lunar error: the Moon's SSB error is dominated by the shared
+    # Earth-orbit drift; relative to Earth is the meaningful lunar metric
+    tgt = {b.name: b.position for b in target.bodies}
+    if "Moon" in tgt and "Earth" in tgt:
+        rel_ours = final[names.index("Moon")] - final[names.index("Earth")]
+        rel_jpl = tgt["Moon"] - tgt["Earth"]
+        errs["Moon-Earth"] = float(np.linalg.norm(rel_ours - rel_jpl))
     return errs
 
 
@@ -243,13 +273,18 @@ def main(argv=None) -> int:
     p.add_argument("--csv", default=None)
     p.add_argument("--json", dest="json_out", default=None)
     p.add_argument("--oracle", action="store_true", help="76-year real-JPL endpoint check")
+    p.add_argument(
+        "--pn", action="store_true",
+        help="add the 1PN Schwarzschild term (Sun) — beyond-reference physics",
+    )
     args = p.parse_args(argv)
     modes = args.modes.split(",")
 
     if args.oracle:
         for mode in modes:
-            errs = oracle_76y(mode, dt=float(args.dt or 600.0))
-            print(f"oracle 1950->2026 (76.0 y, REAL JPL endpoints), mode={mode}:")
+            errs = oracle_76y(mode, dt=float(args.dt or 600.0), pn=args.pn)
+            tag = " +1PN" if args.pn else ""
+            print(f"oracle 1950->2026 (76.0 y, REAL JPL endpoints), mode={mode}{tag}:")
             for name, e in errs.items():
                 print(f"  {name:8s} {e:12.1f} km")
         return 0
