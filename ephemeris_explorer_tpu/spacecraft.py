@@ -688,7 +688,23 @@ def propagate_ships(ephemeris, ships, until=None, max_knots: int = 16384):
         fn = _jitted_propagate_batch(method, params, max_knots)
         r = fn(packed, tls, t0s, p0s, v0s, ends)
         for i, s in enumerate(group):
-            out[s.name] = HermiteTrajectory.from_result(
-                PropagationResult(*(x[i] for x in r))
-            )
+            res = PropagationResult(*(x[i] for x in r))
+            if int(res.reason) == DONE_KNOTS_FULL:
+                # per-ship resume fallback: the vmapped batch cannot resume
+                # ships individually, so an exhausted ship re-runs through
+                # the chunked single-ship driver
+                traj, _ = propagate_resuming(
+                    method,
+                    packed,
+                    jax.tree_util.tree_map(lambda x: x[i], tls),
+                    float(t0s[i]),
+                    np.asarray(p0s[i]),
+                    np.asarray(v0s[i]),
+                    float(ends[i]),
+                    params,
+                    max_knots=max_knots,
+                )
+                out[s.name] = traj
+            else:
+                out[s.name] = HermiteTrajectory.from_result(res)
     return out

@@ -312,6 +312,19 @@ def test_knot_buffer_exhaustion_resumes(sem_eph):
         assert np.max(np.abs(pa - pb)) < 1.0, frac
 
 
+def test_fleet_knot_exhaustion_fallback(sem_eph):
+    """propagate_ships falls back to the chunked single-ship driver for
+    ships that exhaust the batch knot buffer."""
+    from ephemeris_explorer_tpu.spacecraft import propagate_ships
+
+    sc, eph = sem_eph
+    fleet = propagate_ships(eph, [sc.ships[0]], max_knots=256)
+    traj = fleet[sc.ships[0].name]
+    assert len(traj.ts) > 256
+    big = propagate_ship(eph, sc.ships[0])
+    assert abs(traj.end_s - big.end_s) < 1.0
+
+
 def test_replan_with_tiny_knot_buffer(sem_eph):
     """Universe.replan must deliver full coverage even when max_knots is far
     below the mission's knot count."""
