@@ -86,21 +86,26 @@ def _accel_kernel(
     pos_hi_ref, pos_lo_ref, mu_hi_ref, mu_lo_ref,
     rows_hi_ref, rows_lo_ref,
     out_hi_ref, out_lo_ref,
-    *, n_bodies: int, tile_rows: int, tile_cols: int,
+    *, n_bodies: int, tile_rows: int, tile_cols: int, ens: bool = False,
 ):
     """Pair tile layout: receiver rows in SUBLANES, source columns in LANES.
 
     Inputs come in two layouts to avoid any in-kernel relayout: lane-major
     sources (3, N) + (1, N) mu, and sublane-major receiver rows (TR, 3).
     The per-receiver reduction runs over lanes; output blocks are (TR, 3).
+
+    With ``ens=True`` the blocks carry a leading ensemble dim of size 1
+    (grid axis 0 = ensemble member) — a fused grid instead of a vmapped
+    pallas_call, which costs ~25% at 16 x 4096 (measured).
     """
     tr, tc = tile_rows, tile_cols
+    lead = (0,) if ens else ()
     n_col_tiles = n_bodies // tc
-    i0 = jax.lax.mul(pl.program_id(0), jnp.int32(tr))
+    i0 = jax.lax.mul(pl.program_id(1 if ens else 0), jnp.int32(tr))
     row_ids = jax.lax.add(jax.lax.broadcasted_iota(jnp.int32, (tr, 1), 0), i0)
 
-    rows_hi = rows_hi_ref[:, :]  # (TR, 3), rows in sublanes
-    rows_lo = rows_lo_ref[:, :]
+    rows_hi = rows_hi_ref[(*lead, slice(None), slice(None))]  # (TR, 3)
+    rows_lo = rows_lo_ref[(*lead, slice(None), slice(None))]
 
     def col_tile(k, acc):
         c0 = jax.lax.mul(k, jnp.int32(tc))
@@ -111,8 +116,8 @@ def _accel_kernel(
         d = []
         for c in range(3):
             pj = TwoFloat(
-                pos_hi_ref[c, pl.ds(c0, tc)][None, :],   # (1, TC) lanes
-                pos_lo_ref[c, pl.ds(c0, tc)][None, :],
+                pos_hi_ref[(*lead, c, pl.ds(c0, tc))][None, :],   # (1, TC) lanes
+                pos_lo_ref[(*lead, c, pl.ds(c0, tc))][None, :],
             )
             pi = TwoFloat(rows_hi[:, c][:, None], rows_lo[:, c][:, None])  # (TR, 1)
             d.append(eft.sub(pj, pi))
@@ -147,8 +152,65 @@ def _accel_kernel(
     )
     acc = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_col_tiles), col_tile, acc0)
     for c in range(3):
-        out_hi_ref[:, c : c + 1] = acc[c].hi
-        out_lo_ref[:, c : c + 1] = acc[c].lo
+        out_hi_ref[(*lead, slice(None), slice(c, c + 1))] = acc[c].hi
+        out_lo_ref[(*lead, slice(None), slice(c, c + 1))] = acc[c].lo
+
+
+@partial(jax.jit, static_argnames=("tile_rows", "tile_cols", "interpret"))
+def pairwise_accel_df64_ensemble(
+    pos_hi, pos_lo, mu_hi, mu_lo,
+    tile_rows: int = 256, tile_cols: int = 1024, interpret: bool = False,
+):
+    """Ensemble pairwise accelerations: one fused (E, N/TR) grid.
+
+    pos_hi/pos_lo: (E, 3, N) f32 split positions; mu shared (1, N).
+    Returns (acc_hi, acc_lo) of shape (E, N, 3).
+    """
+    e, _, n = pos_hi.shape
+    tile_cols = min(tile_cols, n)
+    tile_rows = min(tile_rows, n)
+    assert n % tile_rows == 0 and n % tile_cols == 0
+
+    rows_hi = jnp.swapaxes(pos_hi, 1, 2)  # (E, N, 3) sublane-major rows
+    rows_lo = jnp.swapaxes(pos_lo, 1, 2)
+
+    kernel = partial(
+        _accel_kernel, n_bodies=n, tile_rows=tile_rows, tile_cols=tile_cols,
+        ens=True,
+    )
+    grid = (e, n // tile_rows)
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 3, n), lambda e, i: (e, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, n), lambda e, i: (e, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n), lambda e, i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n), lambda e, i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_rows, 3), lambda e, i: (e, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_rows, 3), lambda e, i: (e, i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, tile_rows, 3), lambda e, i: (e, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_rows, 3), lambda e, i: (e, i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((e, n, 3), jnp.float32),
+                jax.ShapeDtypeStruct((e, n, 3), jnp.float32),
+            ],
+            interpret=interpret,
+        )(pos_hi, pos_lo, mu_hi, mu_lo, rows_hi, rows_lo)
+
+
+def pairwise_accel_ensemble(pos, mu_hi, mu_lo, interpret: bool = False, **tiles):
+    """Drop-in ensemble O(N^2) acceleration: f64 (E, N, 3) in/out."""
+    ph = jnp.swapaxes(pos, 1, 2).astype(jnp.float32)            # (E, 3, N)
+    plo = (jnp.swapaxes(pos, 1, 2) - ph.astype(jnp.float64)).astype(jnp.float32)
+    ah, al = pairwise_accel_df64_ensemble(
+        ph, plo, mu_hi, mu_lo, interpret=interpret, **tiles
+    )
+    return ah.astype(jnp.float64) + al.astype(jnp.float64)      # (E, N, 3)
 
 
 @partial(jax.jit, static_argnames=("tile_rows", "tile_cols", "interpret"))
@@ -303,9 +365,13 @@ def _accel_kernel3(
 @partial(jax.jit, static_argnames=("tile_rows", "tile_cols", "interpret"))
 def pairwise_accel_limbs(
     l0, l1, l2, mu_hi, mu_lo,
-    tile_rows: int = 256, tile_cols: int = 1024, interpret: bool = False,
+    tile_rows: int = 256, tile_cols: int = 512, interpret: bool = False,
 ):
     """O(N^2) acceleration from 3-limb f32 positions.
+
+    Default tile is (256, 512): the 3-limb pipeline keeps ~50% more live
+    (TR, TC) temps than the two-float kernel, and (256, 1024) exceeds the
+    16 MB VMEM scoped-allocation limit at N=4096 (measured: 17.96M).
 
     l0/l1/l2: (N, 3) f32 limb arrays (leading limbs of an f32 expansion,
     e.g. :func:`..ops.expansion.hi_lo` plus the third limb).

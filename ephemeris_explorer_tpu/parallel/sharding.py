@@ -154,3 +154,52 @@ def init_ensemble_carry(mesh: Mesh, tab, mus, t0, pos, vel, h) -> ELM2Carry:
     carry = jax.vmap(init_one)(jnp.asarray(pos), jnp.asarray(vel))
     sh = carry_sharding(mesh, ensemble=True)
     return jax.device_put(carry, sh)
+
+
+# ---------------------------------------------------------------------------
+# Fused ensemble stepping (single fused Pallas grid, no vmap)
+# ---------------------------------------------------------------------------
+#
+# A vmapped pallas_call lifts the ensemble axis into a per-member dispatch
+# that costs ~25% at 16 x 4096; the fused path instead feeds the whole
+# (E, N, 3) batch to ONE kernel with grid (E, N/TR).  elm2_step is
+# shape-generic (its weighted sums reduce the leading ORDER axis and
+# everything else is elementwise), so the carry simply keeps the ensemble
+# axis inside: ys/ddys are (ORDER, E, N, 3), dy is (E, N, 3), one shared t.
+# Single-chip oriented (the Pallas kernel does not shard); the vmapped GSPMD
+# path above remains the multi-chip route.
+
+
+def _fused_ensemble_accel(mus):
+    mu_dev = jnp.asarray(mus)
+    if jax.default_backend() in ("tpu", "axon"):
+        from ..ops.pallas_nbody import pairwise_accel_ensemble, split_f64
+
+        mu_hi, mu_lo = split_f64(mu_dev.reshape(1, -1))
+
+        def accel(t, y):  # y: (E, N, 3)
+            return pairwise_accel_ensemble(y, mu_hi, mu_lo)
+
+        return accel
+    return lambda t, y: jax.vmap(lambda yy: nbody.pairwise_accel(yy, mu_dev))(y)
+
+
+def init_fused_ensemble_carry(tab, mus, t0, pos, vel, h) -> ELM2Carry:
+    """Startup for the fused layout: pos/vel (E, N, 3) -> ys (ORDER, E, N, 3)."""
+    accel = _fused_ensemble_accel(mus)
+    return elm2_init(tab, accel, t0, jnp.asarray(pos), jnp.asarray(vel), h)
+
+
+def make_fused_ensemble_scan(tab, mus, h, n_steps: int):
+    """`n_steps` QT12 steps of the whole ensemble per device program."""
+    accel = _fused_ensemble_accel(mus)
+
+    @jax.jit
+    def run(carry: ELM2Carry) -> ELM2Carry:
+        def body(c, _):
+            return elm2_step(tab, accel, h, c), None
+
+        c, _ = jax.lax.scan(body, carry, None, length=n_steps)
+        return c
+
+    return run

@@ -8,6 +8,7 @@ from ephemeris_explorer_tpu.ops import nbody
 from ephemeris_explorer_tpu.ops.pallas_nbody import (
     HAVE_PALLAS,
     pairwise_accel,
+    pairwise_accel_ensemble,
     split_f64,
 )
 
@@ -27,6 +28,30 @@ def test_pallas_accel_matches_f64():
     )
     scale = np.max(np.abs(ref))
     assert np.max(np.abs(out - ref)) / scale < 1e-12
+
+
+@pytest.mark.skipif(not HAVE_PALLAS, reason="pallas unavailable")
+def test_fused_ensemble_kernel_matches_per_member():
+    """The fused (E, N/TR) grid gives the same result as the per-member
+    kernel for every ensemble member."""
+    rng = np.random.default_rng(5)
+    e, n = 3, 64
+    pos = rng.normal(size=(e, n, 3)) * 1e8
+    mu = rng.uniform(1e3, 1e11, size=n)
+    mu_hi, mu_lo = split_f64(jnp.asarray(mu).reshape(1, n))
+
+    out = np.asarray(
+        pairwise_accel_ensemble(
+            jnp.asarray(pos), mu_hi, mu_lo, interpret=True,
+            tile_rows=32, tile_cols=64,
+        )
+    )
+    for k in range(e):
+        ref = np.asarray(
+            pairwise_accel(jnp.asarray(pos[k]), mu_hi, mu_lo, interpret=True,
+                           tile_rows=32, tile_cols=64)
+        )
+        np.testing.assert_array_equal(out[k], ref)
 
 
 @pytest.mark.skipif(not HAVE_PALLAS, reason="pallas unavailable")
