@@ -1,18 +1,30 @@
 #!/usr/bin/env python3
-"""Headline benchmark: N-body integration throughput on one TPU chip.
+"""Benchmarks on one TPU chip.
 
-Metric: body-steps/sec/chip on a synthetic 4096-body cluster integrated with
-the production method (QuinlanTremaine12, one O(N^2) force evaluation per
-step) in f64 (double-word emulation on TPU).  Baseline target (BASELINE.json
-north star): 1e6 body-steps/sec/chip.
+Default (driver contract): prints exactly ONE JSON line for the headline
+metric — body-steps/sec/chip on a synthetic 4096-body cluster, QT12 (one
+O(N^2) force eval per step), f64-equivalent arithmetic.  Baseline target
+(BASELINE.json north star): 1e6 body-steps/sec/chip.
 
-Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+``--all`` additionally benchmarks every BASELINE.json config:
+
+  n4096_df64        headline: plain df64 state + Pallas two-float pair kernel
+  n4096_parity      the parity-mode engine: quad-f32 expansion state +
+                    3-limb Pallas force (elm2_step_q + pairwise_accel_limbs)
+  fss_generation    full_solar_system ephemeris GENERATION (integration +
+                    sampling + least-squares fit), sim-days/sec
+  fleet64           64 batched spacecraft with flight-plan burns vs the
+                    interpolated context, 300-day missions (vmapped)
+  ensemble16x4096   16 initial conditions x 4096 bodies (vmapped Pallas scan)
+
+and writes BENCH_all.json + fills BASELINE.json "published".
 """
 
+import argparse
 import json
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
@@ -21,8 +33,27 @@ STEPS_PER_CHUNK = 100
 CHUNKS = 5
 BASELINE = 1.0e6  # body-steps/sec/chip
 
+REPO = Path(__file__).resolve().parent
 
-def main() -> None:
+
+def _cluster(n, seed=0):
+    rng = np.random.default_rng(seed)
+    pos = rng.normal(size=(n, 3)) * 1.0e6
+    vel = rng.normal(size=(n, 3)) * 1.0
+    mu = rng.uniform(1.0e3, 1.0e5, size=n)
+    return pos, vel, mu
+
+
+def _force(x):
+    """Force completion with a host transfer (block_until_ready is unreliable
+    through remote-device relays)."""
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(x)
+    return np.asarray(leaves[0]).reshape(-1)[0]
+
+
+def bench_headline() -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -30,12 +61,7 @@ def main() -> None:
     from ephemeris_explorer_tpu.integrators.multistep import elm2_init, elm2_step
     from ephemeris_explorer_tpu.ops import nbody
 
-    rng = np.random.default_rng(0)
-    # Plummer-like cluster in km / km/s / km^3 s^-2
-    pos = rng.normal(size=(N_BODIES, 3)) * 1.0e6
-    vel = rng.normal(size=(N_BODIES, 3)) * 1.0
-    mu = rng.uniform(1.0e3, 1.0e5, size=N_BODIES)
-
+    pos, vel, mu = _cluster(N_BODIES)
     tab = get("QuinlanTremaine12")
     mu_dev = jnp.asarray(mu)
     h = 600.0
@@ -68,39 +94,251 @@ def main() -> None:
         c, _ = jax.lax.scan(body, carry, None, length=STEPS_PER_CHUNK)
         return c
 
-    # jit the startup too: eager dispatch over remote-device relays is slow
     init = jax.jit(lambda p, v: elm2_init(tab, accel, 0.0, p, v, h))
     carry = init(jnp.asarray(pos), jnp.asarray(vel))
-    # warmup/compile; a host transfer forces real completion (block_until_ready
-    # is unreliable through remote-device relays)
     carry = chunk(carry)
-    _ = np.asarray(carry.ys[0, 0])
+    _force(carry.ys)
 
     t0 = time.perf_counter()
     for _ in range(CHUNKS):
         carry = chunk(carry)
-    _ = np.asarray(carry.ys[0, 0])
+    _force(carry.ys)
     elapsed = time.perf_counter() - t0
 
     steps = CHUNKS * STEPS_PER_CHUNK
-    body_steps_per_sec = N_BODIES * steps / elapsed
-
-    # sanity: no NaNs and cluster has not exploded
+    value = N_BODIES * steps / elapsed
     final = np.asarray(carry.ys[0])
     assert np.isfinite(final).all(), "non-finite state after benchmark"
+    return {
+        "metric": f"body-steps/sec/chip (N={N_BODIES}, QT12 f64)",
+        "value": round(value, 1),
+        "unit": "body-steps/s",
+        "vs_baseline": round(value / BASELINE, 3),
+    }
 
-    print(
-        json.dumps(
-            {
-                "metric": f"body-steps/sec/chip (N={N_BODIES}, QT12 f64)",
-                "value": round(body_steps_per_sec, 1),
-                "unit": "body-steps/s",
-                "vs_baseline": round(body_steps_per_sec / BASELINE, 3),
-            }
-        )
+
+def bench_parity() -> dict:
+    """The engine the 100-year accuracy story rests on: expansion state +
+    3-limb Pallas force (docs/ACCURACY.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ephemeris_explorer_tpu.integrators import get
+    from ephemeris_explorer_tpu.integrators.multistep import elm2_init_q, elm2_step_q
+    from ephemeris_explorer_tpu.ops.pallas_nbody import (
+        pairwise_accel as pallas_accel,
+        pairwise_accel_limbs,
+        split_f64,
     )
+
+    pos, vel, mu = _cluster(N_BODIES)
+    tab = get("QuinlanTremaine12")
+    mu_dev = jnp.asarray(mu)
+    mu_hi, mu_lo = split_f64(mu_dev.reshape(1, -1))
+    h = 600.0
+
+    def accel(t, y):
+        return pallas_accel(y, mu_hi, mu_lo)
+
+    def accel_limbs(t, limbs):
+        return pairwise_accel_limbs(limbs[0], limbs[1], limbs[2], mu_hi, mu_lo)
+
+    @jax.jit
+    def chunk(carry):
+        def body(c, _):
+            return elm2_step_q(tab, accel, h, c, accel_limbs=accel_limbs), None
+
+        c, _ = jax.lax.scan(body, carry, None, length=STEPS_PER_CHUNK)
+        return c
+
+    init = jax.jit(lambda p, v: elm2_init_q(tab, accel, 0.0, p, v, h))
+    carry = init(jnp.asarray(pos), jnp.asarray(vel))
+    carry = chunk(carry)
+    _force(carry.ys)
+
+    t0 = time.perf_counter()
+    for _ in range(CHUNKS):
+        carry = chunk(carry)
+    _force(carry.ys)
+    elapsed = time.perf_counter() - t0
+
+    steps = CHUNKS * STEPS_PER_CHUNK
+    value = N_BODIES * steps / elapsed
+    return {
+        "metric": f"body-steps/sec/chip (N={N_BODIES}, QT12 expansion+3-limb parity engine)",
+        "value": round(value, 1),
+        "unit": "body-steps/s",
+        "vs_baseline": round(value / BASELINE, 3),
+    }
+
+
+def bench_fss_generation() -> dict:
+    """full_solar_system ephemeris generation incl. sampling + LSQ fit."""
+    from ephemeris_explorer_tpu import Duration
+    from ephemeris_explorer_tpu.ephemeris import generate_ephemeris
+    from ephemeris_explorer_tpu.io.scene import load_scene
+
+    sc = load_scene(REPO / "systems" / "full_solar_system_2433282.5")
+    span = Duration.from_years(1.0)
+    # warm: compile all chunk shapes
+    generate_ephemeris(sc.state, sc.settings, span)
+    t0 = time.perf_counter()
+    eph = generate_ephemeris(sc.state, sc.settings, span)
+    elapsed = time.perf_counter() - t0
+    assert eph["Earth"].segment_count > 0
+    sim_days = span.as_seconds() / 86400.0
+    value = sim_days / elapsed
+    return {
+        "metric": "full_solar_system generation incl. fit (32 bodies, dt 10 min, warm)",
+        "value": round(value, 1),
+        "unit": "sim-days/s",
+        "vs_baseline": None,
+    }
+
+
+def _fleet_ships(sc, eph, n_ships: int, mission_days: float):
+    """Synthetic heliocentric fleet around Earth's orbit with TNB burns."""
+    from ephemeris_explorer_tpu.ftime import Duration, Epoch
+    from ephemeris_explorer_tpu.io.scene import Ship, ShipBurn
+
+    rng = np.random.default_rng(42)
+    t0 = sc.state.epoch.as_offset_seconds() + 86400.0
+    ep, ev = eph["Earth"].state_vector(t0)
+    ships = []
+    for k in range(n_ships):
+        offset = rng.normal(size=3) * 5.0e5 + np.array([2.0e6, 0.0, 0.0])
+        dv = 1.0 + rng.normal(size=3) * 1e-3
+        burns = [
+            ShipBurn(
+                start=Epoch.from_offset_seconds(t0 + 10 * 86400.0 + k * 3600.0),
+                duration=Duration.from_seconds(600.0),
+                acceleration=np.array([2e-3, 0.0, 0.0]),
+                reference="Sun",
+            )
+        ]
+        ships.append(
+            Ship(
+                name=f"fleet-{k}",
+                integrator="Verner87",
+                tolerance=1e-3,
+                start=Epoch.from_offset_seconds(t0),
+                end=Epoch.from_offset_seconds(t0 + mission_days * 86400.0),
+                position=ep + offset,
+                velocity=ev * dv,
+                burns=burns,
+            )
+        )
+    return ships
+
+
+def bench_fleet64() -> dict:
+    from ephemeris_explorer_tpu import Duration
+    from ephemeris_explorer_tpu.ephemeris import generate_ephemeris
+    from ephemeris_explorer_tpu.io.scene import load_scene
+    from ephemeris_explorer_tpu.spacecraft import propagate_ships
+
+    sc = load_scene(REPO / "systems" / "full_solar_system_2433282.5")
+    eph = generate_ephemeris(sc.state, sc.settings, Duration.from_days(320.0))
+    ships = _fleet_ships(sc, eph, 64, 300.0)
+    # warm (compile)
+    propagate_ships(eph, ships, max_knots=8192)
+    t0 = time.perf_counter()
+    out = propagate_ships(eph, ships, max_knots=8192)
+    elapsed = time.perf_counter() - t0
+    spans = [tr.end_s - tr.start_s for tr in out.values()]
+    assert min(spans) > 290 * 86400.0, "fleet did not cover its missions"
+    value = 64 * 300.0 / elapsed
+    return {
+        "metric": "64-ship fleet, 300-day missions w/ burns vs interpolated context (warm)",
+        "value": round(value, 1),
+        "unit": "ship-days/s",
+        "vs_baseline": None,
+    }
+
+
+def bench_ensemble() -> dict:
+    import jax
+    import jax.numpy as jnp  # noqa: F401
+
+    from ephemeris_explorer_tpu.integrators import get
+    from ephemeris_explorer_tpu.parallel import sharding as sh
+
+    E = 16
+    tab = get("QuinlanTremaine12")
+    h = 600.0
+    mu = _cluster(N_BODIES)[2]
+    pos = np.stack([_cluster(N_BODIES, seed=i)[0] for i in range(E)])
+    vel = np.stack([_cluster(N_BODIES, seed=i)[1] for i in range(E)])
+
+    # fused single-kernel ensemble grid (the multi-chip GSPMD path keeps the
+    # vmapped layout; measured +22% single-chip from fusing the dispatch)
+    carry = sh.init_fused_ensemble_carry(tab, mu, 0.0, pos, vel, h)
+    steps = 20
+    run = sh.make_fused_ensemble_scan(tab, mu, h, steps)
+    carry = run(carry)
+    _force(carry.ys)
+
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        carry = run(carry)
+    _force(carry.ys)
+    elapsed = time.perf_counter() - t0
+    value = E * N_BODIES * steps * reps / elapsed
+    return {
+        "metric": f"ensemble body-steps/sec/chip ({E} ICs x {N_BODIES} bodies, QT12 f64, fused grid)",
+        "value": round(value, 1),
+        "unit": "body-steps/s",
+        "vs_baseline": round(value / BASELINE, 3),
+    }
+
+
+ALL_BENCHES = {
+    "n4096_df64": bench_headline,
+    "n4096_parity": bench_parity,
+    "fss_generation": bench_fss_generation,
+    "fleet64": bench_fleet64,
+    "ensemble16x4096": bench_ensemble,
+}
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--all", action="store_true", help="run every BASELINE config")
+    p.add_argument("--config", choices=sorted(ALL_BENCHES), default=None)
+    args = p.parse_args()
+
+    if args.config:
+        print(json.dumps(ALL_BENCHES[args.config]()))
+        return
+    if not args.all:
+        print(json.dumps(bench_headline()))
+        return
+
+    results = {}
+    for name, fn in ALL_BENCHES.items():
+        try:
+            results[name] = fn()
+        except Exception as e:  # noqa: BLE001
+            results[name] = {"error": f"{type(e).__name__}: {e}"}
+        line = dict(results[name])
+        line["config"] = name
+        print(json.dumps(line), flush=True)
+
+    (REPO / "BENCH_all.json").write_text(json.dumps(results, indent=2) + "\n")
+    baseline_path = REPO / "BASELINE.json"
+    baseline = json.loads(baseline_path.read_text())
+    baseline["published"] = {
+        name: (
+            {"value": r["value"], "unit": r["unit"], "metric": r["metric"]}
+            if "value" in r
+            else r
+        )
+        for name, r in results.items()
+    }
+    baseline_path.write_text(json.dumps(baseline, indent=2) + "\n")
 
 
 if __name__ == "__main__":
-    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    sys.path.insert(0, str(REPO))
     main()
