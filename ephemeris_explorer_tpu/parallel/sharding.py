@@ -170,6 +170,56 @@ def init_ensemble_carry(mesh: Mesh, tab, mus, t0, pos, vel, h) -> ELM2Carry:
 # path above remains the multi-chip route.
 
 
+# ---------------------------------------------------------------------------
+# Sharded fleet propagation (ships data-parallel over the mesh)
+# ---------------------------------------------------------------------------
+
+
+def make_sharded_fleet_propagator(mesh: Mesh, method: str, params, max_knots: int):
+    """Batched spacecraft propagation with ships sharded over axis "data".
+
+    The packed ephemeris (the celestial context every ship reads) is
+    REPLICATED; per-ship inputs/outputs are sharded on the leading batch
+    axis.  GSPMD keeps each shard's vmapped while_loops fully local — no
+    collectives in the hot loop, the canonical data-parallel serving shape.
+    Returns (fn, place) where place(packed, tl, t0, p0, v0, end) device_puts
+    the operands with the right shardings.
+    """
+    from ..integrators.methods import get as get_method
+    from ..spacecraft import propagate_batch
+
+    tab = get_method(method)
+    repl = NamedSharding(mesh, P())
+    batch1 = NamedSharding(mesh, P("data"))
+    batch2 = NamedSharding(mesh, P("data", None))
+
+    def _tl_sharding(tl):
+        return type(tl)(
+            starts=batch2, ends=batch2, accels=NamedSharding(mesh, P("data", None, None)),
+            frame_kind=batch2, frame_body=batch2,
+        )
+
+    def place(packed, tl, t0s, p0s, v0s, ends):
+        packed = jax.device_put(packed, jax.tree_util.tree_map(lambda _: repl, packed))
+        tl = jax.device_put(tl, _tl_sharding(tl))
+        return (
+            packed,
+            tl,
+            jax.device_put(t0s, batch1),
+            jax.device_put(p0s, batch2),
+            jax.device_put(v0s, batch2),
+            jax.device_put(ends, batch1),
+        )
+
+    @jax.jit
+    def fn(packed, tl, t0s, p0s, v0s, ends):
+        return propagate_batch(
+            tab, packed, tl, t0s, p0s, v0s, ends, params, max_knots=max_knots
+        )
+
+    return fn, place
+
+
 def _fused_ensemble_accel(mus):
     mu_dev = jnp.asarray(mus)
     if jax.default_backend() in ("tpu", "axon"):

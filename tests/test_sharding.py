@@ -49,3 +49,60 @@ def test_sharded_ensemble_step_matches_unsharded():
     )(jnp.asarray(pos), jnp.asarray(vel))
     np.testing.assert_allclose(np.asarray(out.ys[0]), np.asarray(ref.ys[0]), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(out.dy), np.asarray(ref.dy), rtol=1e-10)
+
+
+def test_sharded_fleet_matches_unsharded():
+    """Ships sharded over "data" (replicated context) produce the same
+    trajectories as the unsharded vmapped driver."""
+    from pathlib import Path
+
+    from ephemeris_explorer_tpu import Duration, Epoch
+    from ephemeris_explorer_tpu.ephemeris import generate_ephemeris
+    from ephemeris_explorer_tpu.integrators.adaptive import AdaptiveParams
+    from ephemeris_explorer_tpu.io.scene import ShipBurn, load_scene
+    from ephemeris_explorer_tpu.spacecraft import (
+        build_timeline,
+        propagate_batch,
+        stack_timelines,
+    )
+    from ephemeris_explorer_tpu.integrators.methods import get as get_method
+
+    systems = Path(__file__).resolve().parent.parent / "systems"
+    sc = load_scene(systems / "sun_earth_moon_2433282.5")
+    eph = generate_ephemeris(sc.state, sc.settings, Duration.from_days(40.0))
+    packed = eph.pack()
+    t0 = sc.state.epoch.as_offset_seconds()
+    base = sc.ships[0]
+
+    n_ships = 4
+    tls, p0s, v0s = [], [], []
+    for k in range(n_ships):
+        burns = [
+            ShipBurn(
+                start=Epoch.from_offset_seconds(t0 + 3600.0 + 60.0 * k),
+                duration=Duration.from_seconds(60.0),
+                acceleration=np.array([1e-3, 0.0, 0.0]),
+                reference="Earth",
+            )
+        ]
+        tls.append(build_timeline(burns, {"Earth": 1}))
+        p0s.append(base.position + np.array([10.0 * k, 0.0, 0.0]))
+        v0s.append(base.velocity)
+    tl = stack_timelines(tls)
+    t0s = jnp.full((n_ships,), t0 + 60.0)
+    ends = jnp.full((n_ships,), t0 + 7200.0)
+    p0s = jnp.asarray(np.stack(p0s))
+    v0s = jnp.asarray(np.stack(v0s))
+    params = AdaptiveParams(h_init=60.0, tol_pos=1e-3, tol_vel=1e-3, n_max=10_000)
+
+    mesh = sh.make_mesh(data=4, model=2)
+    fn, place = sh.make_sharded_fleet_propagator(mesh, "Verner87", params, max_knots=256)
+    res = fn(*place(packed, tl, t0s, p0s, v0s, ends))
+
+    ref = propagate_batch(
+        get_method("Verner87"), packed, tl, t0s, p0s, v0s, ends, params, max_knots=256
+    )
+    np.testing.assert_array_equal(np.asarray(res.count), np.asarray(ref.count))
+    np.testing.assert_allclose(
+        np.asarray(res.pos), np.asarray(ref.pos), rtol=0, atol=1e-9
+    )
