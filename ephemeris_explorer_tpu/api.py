@@ -609,6 +609,66 @@ class Universe:
             )
         return entry.trajectory
 
+    # -- flight-plan editing (ui/windows/body.rs:655-864) -----------------
+    #
+    # The reference edits burns through DragValue widgets that mutate the
+    # FlightPlan in place and fire FlightPlanChanged, which incrementally
+    # replans from the divergence epoch (flight_plan.rs:310-361).  These
+    # methods are that surface without the widgets: mutate, then replan.
+
+    _UNSET = object()
+
+    def add_burn(self, name: str, burn: Burn, replan: bool = True) -> str:
+        """Append a burn to a ship's plan and (by default) replan."""
+        bid = self.ships[name].plan.add_burn(burn)
+        if replan:
+            self.replan(name)
+        return bid
+
+    def remove_burn(self, name: str, burn_id: str, replan: bool = True) -> None:
+        self.ships[name].plan.remove_burn(burn_id)
+        if replan:
+            self.replan(name)
+
+    def edit_burn(
+        self,
+        name: str,
+        burn_id: str,
+        *,
+        start: Epoch | None = None,
+        duration: Duration | None = None,
+        acceleration=None,
+        reference=_UNSET,
+        enabled: bool | None = None,
+        replan: bool = True,
+    ) -> Burn:
+        """Edit burn fields in place (body.rs:706-846 drag semantics).
+
+        Only the passed fields change; the replan restarts from the last
+        timeline event common to the old and new plans, so edits to a late
+        burn keep every knot before it (flight_plan.rs:264-303).
+        """
+        burn = self.ships[name].plan.burns[burn_id]
+        if start is not None:
+            burn.start = start
+        if duration is not None:
+            burn.duration = duration
+        if acceleration is not None:
+            burn.acceleration = np.asarray(acceleration, dtype=np.float64)
+        if reference is not self._UNSET:
+            burn.reference = reference
+        if enabled is not None:
+            burn.enabled = enabled
+        if replan:
+            self.replan(name)
+        return burn
+
+    def set_plan_end(self, name: str, end: Epoch, replan: bool = True) -> None:
+        """Extend/shorten a mission end epoch (body.rs:556-565)."""
+        self.ships[name].plan.end = end
+        if replan:
+            self.replan(name)
+
     def ship_segments(self, name: str) -> list[analysis.PlotSegment]:
         entry = self.ships[name]
         tl = entry.last_timeline

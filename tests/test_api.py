@@ -388,3 +388,49 @@ def test_clear_after_out_of_range_noop():
     assert b.segment_count == 4
     b.clear_after(120.0)  # in range: truncates
     assert b.segment_count == 2
+
+
+def test_edit_burn_surface(uni):
+    """Universe.add_burn/edit_burn/remove_burn/set_plan_end mirror the
+    reference's burn editor: mutate + incremental replan from divergence
+    (ui/windows/body.rs:655-864, flight_plan.rs:310-361)."""
+    ship = uni.scene.ships[0]
+    entry = uni.spawn_ship(ship)
+    traj1 = entry.trajectory
+    n1 = len(traj1.ts)
+
+    t_burn = traj1.start_s + 0.7 * (traj1.end_s - traj1.start_s)
+    bid = uni.add_burn(
+        ship.name,
+        Burn(
+            start=Epoch.from_offset_seconds(t_burn),
+            duration=Duration.from_seconds(60.0),
+            acceleration=np.array([1e-3, 0, 0]),
+            reference="Earth",
+        ),
+    )
+    traj2 = uni.ships[ship.name].trajectory
+    early = traj2.pos[: n1 // 2].copy()
+
+    # drag the burn later: knots before the OLD start are preserved
+    burn = uni.edit_burn(
+        ship.name, bid, start=Epoch.from_offset_seconds(t_burn + 1800.0)
+    )
+    assert burn.start.as_offset_seconds() == t_burn + 1800.0
+    traj3 = uni.ships[ship.name].trajectory
+    np.testing.assert_array_equal(traj3.pos[: n1 // 2], early)
+
+    # edit acceleration + disable: trajectory returns to coast-only track
+    uni.edit_burn(ship.name, bid, acceleration=[2e-3, 0, 0], enabled=False)
+    traj4 = uni.ships[ship.name].trajectory
+    got = traj4.get(traj1.ts[-1])
+    ref = traj1.get(traj1.ts[-1])
+    assert got is not None and ref is not None
+    np.testing.assert_allclose(got[0], ref[0], atol=1e-6)
+
+    # remove + shorten the plan end
+    uni.remove_burn(ship.name, bid)
+    assert bid not in uni.ships[ship.name].plan.burns
+    end = Epoch.from_offset_seconds(traj1.start_s + 0.5 * (traj1.end_s - traj1.start_s))
+    uni.set_plan_end(ship.name, end)
+    assert uni.ships[ship.name].plan.end == end
