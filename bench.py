@@ -143,13 +143,22 @@ def bench_parity() -> dict:
     def accel_limbs(t, limbs):
         return pairwise_accel_limbs(limbs[0], limbs[1], limbs[2], mu_hi, mu_lo)
 
+    from ephemeris_explorer_tpu.integrators.multistep import elm2_velocity_q
+
     @jax.jit
     def chunk(carry):
         def body(c, _):
-            return elm2_step_q(tab, accel, h, c, accel_limbs=accel_limbs), None
+            return (
+                elm2_step_q(
+                    tab, accel, h, c, accel_limbs=accel_limbs, with_velocity=False
+                ),
+                None,
+            )
 
         c, _ = jax.lax.scan(body, carry, None, length=STEPS_PER_CHUNK)
-        return c
+        # Cowell velocity deferred out of the scan (production generation
+        # does the same per chunk); restored here so the carry stays exact
+        return c._replace(dy=elm2_velocity_q(tab, c, h))
 
     init = jax.jit(lambda p, v: elm2_init_q(tab, accel, 0.0, p, v, h))
     carry = init(jnp.asarray(pos), jnp.asarray(vel))

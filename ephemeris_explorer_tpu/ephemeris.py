@@ -658,16 +658,30 @@ def _chunk_fn(spec: "GenSpec", precision: str, n_scan: int, startup: bool, n_new
         else:
             startup_ys = None
 
+        # velocity-independent forces defer the Cowell velocity out of the
+        # scan (see elm2_step with_velocity); restored once per chunk below
+        lazy_vel = pert is None
+
         def body(ms, _):
             if extended:
-                ms = elm2_step_q(tab, accel, h, ms, accel_limbs=accel_limbs)
+                ms = elm2_step_q(
+                    tab, accel, h, ms, accel_limbs=accel_limbs,
+                    with_velocity=not lazy_vel,
+                )
                 y_now = ex.to_f64(tuple(l[0] for l in ms.ys))
             else:
-                ms = elm2_step(tab, accel, h, ms)
+                ms = elm2_step(tab, accel, h, ms, with_velocity=not lazy_vel)
                 y_now = ms.ys[0]
             return ms, y_now
 
         ms, scan_ys = jax.lax.scan(body, carry.ms, None, length=n_scan)
+        if lazy_vel and n_scan > 0:
+            from .integrators.multistep import elm2_velocity, elm2_velocity_q
+
+            ms = ms._replace(
+                dy=elm2_velocity_q(tab, ms, h) if extended
+                else elm2_velocity(tab, ms, h)
+            )
         all_ys = (
             jnp.concatenate([startup_ys, scan_ys])
             if startup_ys is not None

@@ -125,8 +125,17 @@ def elm2_init(tab: ELMTableau, accel, t0, y0, dy0, h) -> ELM2Carry:
     return ELM2Carry(t=t, ys=ys[::-1], ddys=ddys[::-1], dy=dy)
 
 
-def elm2_step(tab: ELMTableau, accel, h, carry: ELM2Carry) -> ELM2Carry:
-    """One fixed multistep step (one force evaluation)."""
+def elm2_step(
+    tab: ELMTableau, accel, h, carry: ELM2Carry, with_velocity: bool = True
+) -> ELM2Carry:
+    """One fixed multistep step (one force evaluation).
+
+    ``with_velocity=False`` skips the Cowell velocity reconstruction and
+    leaves ``dy`` stale: the position update never reads it (the alpha sum
+    and force depend on positions only), so pure-Newtonian scans can defer
+    velocity to :func:`elm2_velocity` at sample/chunk boundaries.  Do NOT
+    use it with a velocity-dependent RHS.
+    """
     c_y = jnp.asarray(tab.c_y, carry.ys.dtype)
     c_dy = jnp.asarray(tab.c_dy, carry.ys.dtype)
     cb = jnp.asarray(tab.cowell_beta_n, carry.ys.dtype)
@@ -148,11 +157,26 @@ def elm2_step(tab: ELMTableau, accel, h, carry: ELM2Carry) -> ELM2Carry:
     ddy_new = eval_accel(accel, t_new, y_new, carry.dy)
 
     ddys_new = jnp.concatenate([ddy_new[None], carry.ddys[: tab.order - 1]])
-    vel_sum = wsum(cb, ddys_new)
-    dy_new = (y_new - carry.ys[0]) / h + vel_sum * (h / tab.cowell_beta_d)
+    if with_velocity:
+        vel_sum = wsum(cb, ddys_new)
+        dy_new = (y_new - carry.ys[0]) / h + vel_sum * (h / tab.cowell_beta_d)
+    else:
+        dy_new = carry.dy
 
     ys_new = jnp.concatenate([y_new[None], carry.ys[: tab.order - 1]])
     return ELM2Carry(t=t_new, ys=ys_new, ddys=ddys_new, dy=dy_new)
+
+
+def elm2_velocity(tab: ELMTableau, carry: ELM2Carry, h) -> jax.Array:
+    """Cowell velocity at the carry's current step, from positions + forces.
+
+    Identical to what :func:`elm2_step` stores when ``with_velocity=True``:
+    dy_n = (y_n - y_{n-1})/h + h/beta_d * sum_j beta_j ddy_{n-j}.
+    """
+    cb = jnp.asarray(tab.cowell_beta_n, carry.ys.dtype)
+    shape = (-1,) + (1,) * (carry.ddys.ndim - 1)
+    vel_sum = jnp.sum(cb.reshape(shape) * carry.ddys, axis=0)
+    return (carry.ys[0] - carry.ys[1]) / h + vel_sum * (h / tab.cowell_beta_d)
 
 
 def elm2_scan(tab: ELMTableau, accel, carry: ELM2Carry, h, n_steps: int,
@@ -416,7 +440,12 @@ def elm2_init_q(tab: ELMTableau, accel, t0, y0, dy0, h) -> ELM2CarryQ:
 
 
 def elm2_step_q(
-    tab: ELMTableau, accel, h, carry: ELM2CarryQ, accel_limbs=None
+    tab: ELMTableau,
+    accel,
+    h,
+    carry: ELM2CarryQ,
+    accel_limbs=None,
+    with_velocity: bool = True,
 ) -> ELM2CarryQ:
     """One multistep step on the expansion state (one force evaluation).
 
@@ -424,6 +453,12 @@ def elm2_step_q(
     expansion position.  When `accel_limbs(t, (l0, l1, l2))` is given (the
     3-limb Pallas kernel), the force sees error-free position differences -
     the remaining noise source for close moon pairs at century scale.
+
+    ``with_velocity=False`` defers the Cowell velocity (an 8-limb expansion
+    renorm + a 12-term f64 weighted sum per step, ~15% of the parity-engine
+    step time at N=4096) to :func:`elm2_velocity_q` at sample boundaries;
+    the position update never reads ``dy``.  Requires a velocity-independent
+    force.
     """
     assert all(abs(c) in (0.0, 1.0, 2.0) for c in tab.c_y), tab.name
     sum1 = _exp_wsum_alpha(tab.c_y, carry.ys)
@@ -431,6 +466,12 @@ def elm2_step_q(
     y_new = ex.add(sum1, ex.from_f64(sum2 * (h * h / tab.beta_d)))
     t_new = carry.t + h
 
+    needs_vel = getattr(accel_limbs, "needs_velocity", False) or (
+        accel_limbs is None and getattr(accel, "needs_velocity", False)
+    )
+    assert with_velocity or not needs_vel, (
+        "with_velocity=False requires a velocity-independent force"
+    )
     if accel_limbs is not None:
         if getattr(accel_limbs, "needs_velocity", False):
             ddy_new = accel_limbs(t_new, (y_new[0], y_new[1], y_new[2]), carry.dy)
@@ -440,14 +481,27 @@ def elm2_step_q(
         ddy_new = eval_accel(accel, t_new, ex.to_f64(y_new), carry.dy)
 
     ddys_new = jnp.concatenate([ddy_new[None], carry.ddys[: tab.order - 1]])
-    vel_sum = _f64_wsum(tab.cowell_beta_n, ddys_new)
-    y_prev = tuple(l[0] for l in carry.ys)
-    dy_new = ex.to_f64(ex.add(y_new, ex.neg(y_prev))) / h + vel_sum * (
-        h / tab.cowell_beta_d
-    )
+    if with_velocity:
+        vel_sum = _f64_wsum(tab.cowell_beta_n, ddys_new)
+        y_prev = tuple(l[0] for l in carry.ys)
+        dy_new = ex.to_f64(ex.add(y_new, ex.neg(y_prev))) / h + vel_sum * (
+            h / tab.cowell_beta_d
+        )
+    else:
+        dy_new = carry.dy
 
     ys_new = tuple(
         jnp.concatenate([nl[None], ol[: tab.order - 1]])
         for nl, ol in zip(y_new, carry.ys)
     )
     return ELM2CarryQ(t=t_new, ys=ys_new, ddys=ddys_new, dy=dy_new)
+
+
+def elm2_velocity_q(tab: ELMTableau, carry: ELM2CarryQ, h) -> jax.Array:
+    """Cowell velocity from an expansion carry (see :func:`elm2_velocity`)."""
+    vel_sum = _f64_wsum(tab.cowell_beta_n, carry.ddys)
+    y_now = tuple(l[0] for l in carry.ys)
+    y_prev = tuple(l[1] for l in carry.ys)
+    return ex.to_f64(ex.add(y_now, ex.neg(y_prev))) / h + vel_sum * (
+        h / tab.cowell_beta_d
+    )

@@ -332,22 +332,31 @@ def _accel_kernel3(
             dd = eft.add_sloppy(TwoFloat(s0, e0), TwoFloat(s1, e1))
             d.append(eft.add_float(dd, s2))
 
-        r2 = eft.add(eft.add(eft.mul(d[0], d[0]), eft.mul(d[1], d[1])),
-                     eft.mul(d[2], d[2]))
+        # share the Dekker splits of d.hi between the r^2 squares and the
+        # final w*d products (same restructuring as the two-float kernel);
+        # the three squares are non-negative, so sloppy adds lose nothing
+        d_splits = [eft.split(dc.hi) for dc in d]
+        r2 = eft.add_sloppy(
+            eft.add_sloppy(
+                _sqr_presplit(d[0], d_splits[0]), _sqr_presplit(d[1], d_splits[1])
+            ),
+            _sqr_presplit(d[2], d_splits[2]),
+        )
         one = jnp.ones_like(r2.hi)
         r2 = eft.where(self_mask, TwoFloat(one, jnp.zeros_like(one)), r2)
 
         u = _rsqrt_df(r2)
-        u3 = eft.mul(eft.mul(u, u), u)
+        u3 = eft.mul(eft.sqr(u), u)
         mu = TwoFloat(mu_hi_ref[0, pl.ds(c0, tc)][None, :],
                       mu_lo_ref[0, pl.ds(c0, tc)][None, :])
         w = eft.mul(u3, mu)
         zero = jnp.zeros_like(w.hi)
         w = eft.where(self_mask, TwoFloat(zero, zero), w)
+        w_split = eft.split(w.hi)
 
         out = []
         for c in range(3):
-            term = eft.mul(w, d[c])
+            term = eft.mul_presplit(w, w_split, d[c], d_splits[c])
             s = _dd_tree_sum(term, axis=1)
             out.append(eft.add(acc[c], s))
         return tuple(out)
@@ -365,13 +374,15 @@ def _accel_kernel3(
 @partial(jax.jit, static_argnames=("tile_rows", "tile_cols", "interpret"))
 def pairwise_accel_limbs(
     l0, l1, l2, mu_hi, mu_lo,
-    tile_rows: int = 256, tile_cols: int = 512, interpret: bool = False,
+    tile_rows: int = 128, tile_cols: int = 1024, interpret: bool = False,
 ):
     """O(N^2) acceleration from 3-limb f32 positions.
 
-    Default tile is (256, 512): the 3-limb pipeline keeps ~50% more live
-    (TR, TC) temps than the two-float kernel, and (256, 1024) exceeds the
-    16 MB VMEM scoped-allocation limit at N=4096 (measured: 17.96M).
+    Default tile is (128, 1024): the 3-limb pipeline keeps ~50% more live
+    (TR, TC) temps than the two-float kernel, so (256, 1024) exceeds the
+    16 MB VMEM scoped-allocation limit at N=4096 (measured: 17.96M);
+    halving the rows instead of the columns keeps the wide lane dimension
+    and measures ~9% faster than (256, 512) at N=4096 on v5e.
 
     l0/l1/l2: (N, 3) f32 limb arrays (leading limbs of an f32 expansion,
     e.g. :func:`..ops.expansion.hi_lo` plus the third limb).

@@ -172,3 +172,54 @@ def test_elm1_adams_bashforth(name):
     assert e1 < 1e-4
     # halving h reduces error by ~2^order
     assert e1 / max(e2, 1e-16) > 2 ** (tab.order - 1)
+
+
+def test_elm2_lazy_velocity_equivalence():
+    """with_velocity=False + elm2_velocity at the boundary reproduces the
+    eager carry bitwise, for both the f64 and the expansion state."""
+    tab = get("QuinlanTremaine12")
+    pos, vel, mu, r, period = _circular_two_body()
+    mu_j = jnp.asarray(mu)
+    accel = lambda t, y: nbody.pairwise_accel(y, mu_j)
+    h = period / 300.0
+    n = 50
+
+    # plain f64 state
+    c0 = multistep.elm2_init(tab, accel, 0.0, jnp.asarray(pos), jnp.asarray(vel), h)
+    eager, _ = jax.lax.scan(
+        lambda c, _: (multistep.elm2_step(tab, accel, h, c), None), c0, None, length=n
+    )
+    lazy, _ = jax.lax.scan(
+        lambda c, _: (
+            multistep.elm2_step(tab, accel, h, c, with_velocity=False),
+            None,
+        ),
+        c0, None, length=n,
+    )
+    lazy = lazy._replace(dy=multistep.elm2_velocity(tab, lazy, h))
+    for a, b in zip(jax.tree_util.tree_leaves(eager), jax.tree_util.tree_leaves(lazy)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # expansion state
+    q0 = multistep.elm2_init_q(tab, accel, 0.0, jnp.asarray(pos), jnp.asarray(vel), h)
+    eager_q, _ = jax.lax.scan(
+        lambda c, _: (multistep.elm2_step_q(tab, accel, h, c), None), q0, None, length=n
+    )
+    lazy_q, _ = jax.lax.scan(
+        lambda c, _: (
+            multistep.elm2_step_q(tab, accel, h, c, with_velocity=False),
+            None,
+        ),
+        q0, None, length=n,
+    )
+    lazy_q = lazy_q._replace(dy=multistep.elm2_velocity_q(tab, lazy_q, h))
+    # positions (limb tuple), force ring and t are bitwise identical; dy is
+    # the same formula compiled in two places (inside vs outside the scan),
+    # where XLA's FMA contraction may differ by an ULP — allow that only
+    np.testing.assert_array_equal(np.asarray(eager_q.t), np.asarray(lazy_q.t))
+    for a, b in zip(eager_q.ys, lazy_q.ys):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(eager_q.ddys), np.asarray(lazy_q.ddys))
+    np.testing.assert_allclose(
+        np.asarray(eager_q.dy), np.asarray(lazy_q.dy), rtol=1e-14, atol=1e-18
+    )
