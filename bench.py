@@ -86,13 +86,15 @@ def bench_headline() -> dict:
         def accel(t, y):
             return nbody.pairwise_accel(y, mu_dev)
 
+    from ephemeris_explorer_tpu.integrators.multistep import elm2_velocity
+
     @jax.jit
     def chunk(carry):
         def body(c, _):
-            return elm2_step(tab, accel, h, c), None
+            return elm2_step(tab, accel, h, c, with_velocity=False), None
 
         c, _ = jax.lax.scan(body, carry, None, length=STEPS_PER_CHUNK)
-        return c
+        return c._replace(dy=elm2_velocity(tab, c, h))
 
     init = jax.jit(lambda p, v: elm2_init(tab, accel, 0.0, p, v, h))
     carry = init(jnp.asarray(pos), jnp.asarray(vel))
@@ -119,15 +121,21 @@ def bench_headline() -> dict:
 
 def bench_parity() -> dict:
     """The engine the 100-year accuracy story rests on: expansion state +
-    3-limb Pallas force (docs/ACCURACY.md)."""
+    3-limb Pallas force (docs/ACCURACY.md), fused-update path (the Pallas
+    VMEM state-update kernel + pair-native force ring, ops/pallas_elm2.py)."""
     import jax
     import jax.numpy as jnp
 
     from ephemeris_explorer_tpu.integrators import get
-    from ephemeris_explorer_tpu.integrators.multistep import elm2_init_q, elm2_step_q
+    from ephemeris_explorer_tpu.integrators.multistep import (
+        elm2_init_q,
+        elm2_qf_from_q,
+        elm2_step_qf,
+        elm2_velocity_qf,
+    )
     from ephemeris_explorer_tpu.ops.pallas_nbody import (
         pairwise_accel as pallas_accel,
-        pairwise_accel_limbs,
+        pairwise_accel_limbs_pair,
         split_f64,
     )
 
@@ -140,27 +148,22 @@ def bench_parity() -> dict:
     def accel(t, y):
         return pallas_accel(y, mu_hi, mu_lo)
 
-    def accel_limbs(t, limbs):
-        return pairwise_accel_limbs(limbs[0], limbs[1], limbs[2], mu_hi, mu_lo)
-
-    from ephemeris_explorer_tpu.integrators.multistep import elm2_velocity_q
+    def accel_pair(t, limbs):
+        return pairwise_accel_limbs_pair(limbs[0], limbs[1], limbs[2], mu_hi, mu_lo)
 
     @jax.jit
     def chunk(carry):
         def body(c, _):
-            return (
-                elm2_step_q(
-                    tab, accel, h, c, accel_limbs=accel_limbs, with_velocity=False
-                ),
-                None,
-            )
+            return elm2_step_qf(tab, accel_pair, h, c), None
 
         c, _ = jax.lax.scan(body, carry, None, length=STEPS_PER_CHUNK)
         # Cowell velocity deferred out of the scan (production generation
         # does the same per chunk); restored here so the carry stays exact
-        return c._replace(dy=elm2_velocity_q(tab, c, h))
+        return c._replace(dy=elm2_velocity_qf(tab, c, h))
 
-    init = jax.jit(lambda p, v: elm2_init_q(tab, accel, 0.0, p, v, h))
+    init = jax.jit(
+        lambda p, v: elm2_qf_from_q(elm2_init_q(tab, accel, 0.0, p, v, h))
+    )
     carry = init(jnp.asarray(pos), jnp.asarray(vel))
     carry = chunk(carry)
     _force(carry.ys)
@@ -174,7 +177,7 @@ def bench_parity() -> dict:
     steps = CHUNKS * STEPS_PER_CHUNK
     value = N_BODIES * steps / elapsed
     return {
-        "metric": f"body-steps/sec/chip (N={N_BODIES}, QT12 expansion+3-limb parity engine)",
+        "metric": f"body-steps/sec/chip (N={N_BODIES}, QT12 expansion+3-limb parity engine, fused update)",
         "value": round(value, 1),
         "unit": "body-steps/s",
         "vs_baseline": round(value / BASELINE, 3),

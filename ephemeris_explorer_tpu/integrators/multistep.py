@@ -505,3 +505,69 @@ def elm2_velocity_q(tab: ELMTableau, carry: ELM2CarryQ, h) -> jax.Array:
     return ex.to_f64(ex.add(y_now, ex.neg(y_prev))) / h + vel_sum * (
         h / tab.cowell_beta_d
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused expansion-state path (Pallas update kernel + pair-native force ring)
+# ---------------------------------------------------------------------------
+#
+# Same arithmetic family as ELM2CarryQ, but the acceleration ring lives as
+# raw (hi, lo) f32 pairs (the Pallas force kernel's native output) and the
+# whole position update runs inside one VMEM kernel (ops/pallas_elm2.py)
+# instead of an unfused elementwise chain over HBM.  On TPU this is
+# precision-neutral: the emulated-f64 ring it replaces is itself a ~2^-48
+# two-float pair.
+
+
+class ELM2CarryQF(NamedTuple):
+    t: jax.Array
+    ys: tuple          # 4-tuple of (ORDER, ..., 3) f32 limb arrays
+    dd: TwoFloat       # (ORDER, ..., 3) f32 pair ring, dd[j] = f(ys[j])
+    dy: jax.Array      # base-precision velocity (stale during scans)
+
+
+def elm2_qf_from_q(carry: ELM2CarryQ) -> ELM2CarryQF:
+    """Exact conversion: split the f64 acceleration ring into f32 pairs."""
+    hi = carry.ddys.astype(jnp.float32)
+    lo = (carry.ddys - hi.astype(carry.ddys.dtype)).astype(jnp.float32)
+    return ELM2CarryQF(t=carry.t, ys=carry.ys, dd=TwoFloat(hi, lo), dy=carry.dy)
+
+
+def elm2_qf_to_q(carry: ELM2CarryQF) -> ELM2CarryQ:
+    """Exact conversion back (hi and lo both convert exactly to f64)."""
+    ddys = carry.dd.hi.astype(jnp.float64) + carry.dd.lo.astype(jnp.float64)
+    return ELM2CarryQ(t=carry.t, ys=carry.ys, ddys=ddys, dy=carry.dy)
+
+
+def elm2_init_qf(tab: ELMTableau, accel, t0, y0, dy0, h) -> ELM2CarryQF:
+    return elm2_qf_from_q(elm2_init_q(tab, accel, t0, y0, dy0, h))
+
+
+def elm2_step_qf(
+    tab: ELMTableau, accel_pair, h, carry: ELM2CarryQF, interpret: bool = False
+) -> ELM2CarryQF:
+    """One fused multistep step (one force evaluation, one update kernel).
+
+    ``accel_pair(t, (l0, l1, l2)) -> (hi, lo)`` is the pair-returning force
+    (:func:`..ops.pallas_nbody.pairwise_accel_limbs_pair`).  Velocity is
+    always deferred (:func:`elm2_velocity_qf`).
+    """
+    from ..ops.pallas_elm2 import elm2q_update
+
+    y_new = elm2q_update(tab, h, carry.ys, carry.dd, interpret=interpret)
+    t_new = carry.t + h
+    fh, fl = accel_pair(t_new, (y_new[0], y_new[1], y_new[2]))
+
+    ys_new = tuple(
+        jnp.concatenate([nl[None], ol[: tab.order - 1]])
+        for nl, ol in zip(y_new, carry.ys)
+    )
+    dd_new = TwoFloat(
+        jnp.concatenate([fh[None], carry.dd.hi[: tab.order - 1]]),
+        jnp.concatenate([fl[None], carry.dd.lo[: tab.order - 1]]),
+    )
+    return ELM2CarryQF(t=t_new, ys=ys_new, dd=dd_new, dy=carry.dy)
+
+
+def elm2_velocity_qf(tab: ELMTableau, carry: ELM2CarryQF, h) -> jax.Array:
+    return elm2_velocity_q(tab, elm2_qf_to_q(carry), h)

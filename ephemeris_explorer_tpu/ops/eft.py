@@ -14,6 +14,15 @@ classical error-free transforms (Knuth two-sum, Dekker split/two-product),
 written so that XLA's FMA contraction cannot break correctness (split-based
 products are exact at <=half-precision widths).
 
+CAUTION (measured, round 2): XLA:CPU evaluates PURE-SCALAR f32 sub-DAGs
+with different rounding than the identical chain on arrays — a Dekker
+split of an f32[] scalar coefficient loses its low word under jit
+(~2^-25 instead of ~2^-48 relative error; optimization barriers do not
+help; eager mode and array operands are exact).  Rule: never feed a
+"dirty" f32 scalar (one whose Dekker split is inexact) into these ops
+under jit — pre-broadcast coefficients to arrays (see ops/pallas_elm2.py)
+or use exactly-splittable constants (+-0.5, 1.5, +-2^k are safe).
+
 ``TwoFloat`` is a NamedTuple and therefore a pytree: it nests freely inside
 ``lax.scan`` carries, ``vmap``, and Pallas kernels.
 """

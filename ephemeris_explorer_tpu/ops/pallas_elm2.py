@@ -1,0 +1,166 @@
+"""Pallas TPU kernel: the ELM2 expansion-state position update.
+
+The parity engine's per-step cost outside the O(N^2) force kernel is the
+multistep state update: the alpha combination of two 4-limb expansion
+positions, the 12-term weighted sum of stored accelerations, and the h^2
+increment add - a ~500-op elementwise chain over (ORDER, N, 3) buffers.
+Expressed in XLA with emulated-f64 arithmetic it costs ~1.1 ms/step at
+N=4096 (measured round 2) because the long dependency chain of unfused
+elementwise passes round-trips HBM.  This kernel runs the whole chain in
+VMEM on raw f32 EFT arithmetic:
+
+* the acceleration ring is kept as TwoFloat (hi, lo) f32 pairs - exactly
+  the force kernel's native output (``pairwise_accel_limbs_pair``; the
+  unfused path combined to emulated f64 only for the state update to
+  re-split it),
+* the weighted sum ``sum_j c_dy[j] * dd[j]`` runs in TwoFloat arithmetic
+  with the exact-rational coefficients pre-split into (hi, lo) f32 pairs,
+* the alpha combination and increment add use the same f32 expansion
+  renormalisation as :mod:`.expansion` (exact +-2^k scalings + two_sum
+  distillation), so the committed position keeps ~2^-90 precision.
+
+The split coefficients are passed PRE-BROADCAST as a (ORDER+1, 2, M)
+VMEM array, never as f32 scalars: XLA:CPU evaluates pure-scalar f32
+sub-DAGs (e.g. the Dekker split of a scalar coefficient) with different
+rounding than the same chain on arrays, which erases the error-free
+transform and costs the entire low word of the increment (measured:
+~2^-25 instead of ~2^-48 relative accuracy under jit; eager and
+array-operand versions are exact; optimization barriers do NOT help).
+Array operands side-step the scalar evaluator entirely.
+
+Reference semantics: ELM2 position update, `second_order/mod.rs:91-131`
+(y_{n+1} = sum_j alpha_j y_{n-j} + h^2/beta_d sum_j beta_j f_{n-j}).
+
+Velocity is NOT computed here - the Cowell reconstruction is deferred to
+sample/chunk boundaries (:func:`..integrators.multistep.elm2_velocity_qf`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import eft, expansion as ex
+from .eft import TwoFloat
+
+try:  # pragma: no cover - import mirrors pallas_nbody
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    HAVE_PALLAS = False
+
+
+def _split_const(x: float) -> tuple[float, float]:
+    """Exact f64 -> (hi, lo) f32 split, done host-side."""
+    hi = np.float32(x)
+    lo = np.float32(x - np.float64(hi))
+    return float(hi), float(lo)
+
+
+def _update_kernel(
+    coef_ref,
+    ys0_ref, ys1_ref, ys2_ref, ys3_ref, ddh_ref, ddl_ref,
+    o0_ref, o1_ref, o2_ref, o3_ref,
+    *, order: int, c_y: tuple, dy_nonzero: tuple,
+):
+    """One block of the position update.
+
+    coef_ref: (order + 1, 2, M) f32 in VMEM - rows j < order are the split
+    c_dy[j] broadcast over M, row `order` is the split h^2/beta_d factor.
+    Other refs: limb/pair rings (ORDER, M) f32; outputs (1, M) f32.
+    """
+    # weighted acceleration sum in TwoFloat arithmetic.  The c_dy
+    # coefficients alternate in sign with ~6x cancellation, so partial
+    # sums pass near zero: the accurate add is REQUIRED (add_sloppy's
+    # quick_two_sum precondition |s| >= |e| fails under cancellation).
+    acc = None
+    for j in dy_nonzero:
+        c = TwoFloat(coef_ref[j, 0, :][None, :], coef_ref[j, 1, :][None, :])
+        dd = TwoFloat(ddh_ref[j, :][None, :], ddl_ref[j, :][None, :])
+        term = eft.mul(dd, c)
+        acc = term if acc is None else eft.add(acc, term)
+    k = TwoFloat(coef_ref[order, 0, :][None, :], coef_ref[order, 1, :][None, :])
+    inc = eft.mul(acc, k)
+
+    # alpha combination over the position ring (exact +-2^k scalings),
+    # then the increment add - same add/renorm cascade as ops.expansion
+    refs = (ys0_ref, ys1_ref, ys2_ref, ys3_ref)
+    sum1 = None
+    for j in range(order):
+        c = float(c_y[j])
+        if c == 0.0:
+            continue
+        cf = jnp.float32(c)
+        term = tuple(r[j, :][None, :] * cf for r in refs)
+        sum1 = term if sum1 is None else ex.add(sum1, term)
+    zero = jnp.zeros_like(inc.hi)
+    y_new = ex.add(sum1, (inc.hi, inc.lo, zero, zero))
+
+    o0_ref[:, :] = y_new[0]
+    o1_ref[:, :] = y_new[1]
+    o2_ref[:, :] = y_new[2]
+    o3_ref[:, :] = y_new[3]
+
+
+@partial(jax.jit, static_argnames=("order", "c_y", "dy_nonzero", "interpret"))
+def _elm2q_update_flat(
+    coef, ys, ddh, ddl, *, order, c_y, dy_nonzero, interpret=False
+):
+    o, m = ys[0].shape
+    # whole-M blocks: at ORDER=12, N=4096 the operands are ~3.5 MB - VMEM
+    # holds the full problem, no grid needed
+    kernel = partial(
+        _update_kernel, order=order, c_y=c_y, dy_nonzero=dy_nonzero
+    )
+    with jax.enable_x64(False):
+        outs = pl.pallas_call(
+            kernel,
+            grid=(),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+            out_shape=[jax.ShapeDtypeStruct((1, m), jnp.float32)] * 4,
+            interpret=interpret,
+        )(coef, ys[0], ys[1], ys[2], ys[3], ddh, ddl)
+    return tuple(outs)
+
+
+def elm2_update_coeffs(tab, h: float) -> np.ndarray:
+    """The (order + 1, 2) split-coefficient table for :func:`elm2q_update`."""
+    rows = [_split_const(float(c)) for c in tab.c_dy]
+    rows.append(_split_const(float(h) * float(h) / float(tab.beta_d)))
+    return np.asarray(rows, dtype=np.float32)
+
+
+def elm2q_update(tab, h: float, ys: tuple, dd: TwoFloat, interpret: bool = False):
+    """y_{n+1} limbs from the (aligned) position/acceleration rings.
+
+    ys: 4-tuple of (ORDER, N, 3) f32 limb arrays, newest first.
+    dd: TwoFloat of (ORDER, N, 3) f32, dd[j] = f(ys[j]).
+    Returns a 4-tuple of (N, 3) f32 limbs of y_{n+1}.
+    """
+    o, n, three = ys[0].shape
+    m = n * three
+    flat = tuple(l.reshape(o, m) for l in ys)
+    assert all(abs(c) in (0.0, 1.0, 2.0) for c in tab.c_y), tab.name
+    coef = jnp.asarray(
+        np.broadcast_to(elm2_update_coeffs(tab, h)[:, :, None], (o + 1, 2, m))
+    )
+    dy_nonzero = tuple(
+        j for j, c in enumerate(tab.c_dy) if float(c) != 0.0
+    )
+    outs = _elm2q_update_flat(
+        coef,
+        flat,
+        dd.hi.reshape(o, m),
+        dd.lo.reshape(o, m),
+        order=o,
+        c_y=tuple(float(c) for c in tab.c_y),
+        dy_nonzero=dy_nonzero,
+        interpret=interpret,
+    )
+    return tuple(l.reshape(n, three) for l in outs)

@@ -371,8 +371,14 @@ def _accel_kernel3(
         out_lo_ref[:, c : c + 1] = acc[c].lo
 
 
+def pairwise_accel_limbs(l0, l1, l2, mu_hi, mu_lo, **kw):
+    """O(N^2) acceleration from 3-limb f32 positions, combined to f64."""
+    ah, al = pairwise_accel_limbs_pair(l0, l1, l2, mu_hi, mu_lo, **kw)
+    return combine_f64(ah, al)
+
+
 @partial(jax.jit, static_argnames=("tile_rows", "tile_cols", "interpret"))
-def pairwise_accel_limbs(
+def pairwise_accel_limbs_pair(
     l0, l1, l2, mu_hi, mu_lo,
     tile_rows: int = 128, tile_cols: int = 1024, interpret: bool = False,
 ):
@@ -387,7 +393,9 @@ def pairwise_accel_limbs(
     l0/l1/l2: (N, 3) f32 limb arrays (leading limbs of an f32 expansion,
     e.g. :func:`..ops.expansion.hi_lo` plus the third limb).
     mu_hi/mu_lo: (1, N) split gravitational parameters.
-    Returns f64 (N, 3) accelerations.
+    Returns the raw (hi, lo) f32 pair of (N, 3) accelerations - the fused
+    ELM2 update (ops/pallas_elm2.py) consumes the pair directly, skipping
+    the emulated-f64 combine/re-split round trip.
     """
     n = l0.shape[0]
     tile_cols = min(tile_cols, n)
@@ -423,4 +431,4 @@ def pairwise_accel_limbs(
             ],
             interpret=interpret,
         )(lane[0], lane[1], lane[2], mu_hi, mu_lo, l0, l1, l2)
-    return combine_f64(ah, al)
+    return ah, al

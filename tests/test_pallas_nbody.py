@@ -117,3 +117,97 @@ def test_three_limb_close_pair_accuracy():
     )
     rel2 = np.max(np.abs(out2[1] - truth)) / np.max(np.abs(truth))
     assert rel3 < rel2
+
+
+@pytest.mark.skipif(not HAVE_PALLAS, reason="pallas unavailable")
+def test_fused_elm2_update_matches_unfused():
+    """elm2_step_qf (Pallas VMEM update + pair-native force ring) tracks
+    elm2_step_q: positions agree to the two-float increment precision and
+    the converted-back carry round-trips exactly."""
+    import jax
+
+    from ephemeris_explorer_tpu.integrators import get
+    from ephemeris_explorer_tpu.integrators import multistep
+    from ephemeris_explorer_tpu.ops import nbody
+    from ephemeris_explorer_tpu.ops.pallas_nbody import (
+        pairwise_accel_limbs_pair,
+    )
+
+    n = 8
+    rng = np.random.default_rng(7)
+    pos = rng.normal(size=(n, 3)) * 1.0e6
+    vel = rng.normal(size=(n, 3)) * 1.0
+    mu = rng.uniform(1.0e3, 1.0e5, size=n)
+    mu_j = jnp.asarray(mu)
+    mu_hi, mu_lo = split_f64(mu_j.reshape(1, -1))
+    h = 600.0
+    tab = get("QuinlanTremaine12")
+
+    accel = lambda t, y: nbody.pairwise_accel(y, mu_j)
+
+    def accel_limbs(t, limbs):
+        from ephemeris_explorer_tpu.ops.pallas_nbody import combine_f64
+
+        return combine_f64(
+            *pairwise_accel_limbs_pair(
+                limbs[0], limbs[1], limbs[2], mu_hi, mu_lo,
+                interpret=True, tile_rows=8, tile_cols=8,
+            )
+        )
+
+    def accel_pair(t, limbs):
+        return pairwise_accel_limbs_pair(
+            limbs[0], limbs[1], limbs[2], mu_hi, mu_lo,
+            interpret=True, tile_rows=8, tile_cols=8,
+        )
+
+    q = multistep.elm2_init_q(tab, accel, 0.0, jnp.asarray(pos), jnp.asarray(vel), h)
+    qf = multistep.elm2_qf_from_q(q)
+
+    # single step from the same carry: the update kernel commits the same
+    # state (to the 4-limb expansion) as the unfused chain
+    q1 = multistep.elm2_step_q(
+        tab, accel, h, q, accel_limbs=accel_limbs, with_velocity=False
+    )
+    qf1 = multistep.elm2_step_qf(tab, accel_pair, h, qf, interpret=True)
+    y1q = np.asarray(ex_to_f64(q1.ys))
+    y1f = np.asarray(ex_to_f64(qf1.ys))
+    np.testing.assert_allclose(y1f, y1q, atol=np.abs(y1q).max() * 2.0**-50, rtol=0)
+
+    # multi-step: the increment sum runs in EFT TwoFloat instead of f64, a
+    # deep-limb (<2^-45) difference this dense chaotic cluster amplifies -
+    # so judge both engines against the double-double truth instead of
+    # against each other and require comparable error
+    steps = 30
+    c = multistep.elm2_init_c(tab, accel, 0.0, jnp.asarray(pos), jnp.asarray(vel), h)
+    for _ in range(steps):
+        q = multistep.elm2_step_q(
+            tab, accel, h, q, accel_limbs=accel_limbs, with_velocity=False
+        )
+        qf = multistep.elm2_step_qf(tab, accel_pair, h, qf, interpret=True)
+        c = multistep.elm2_step_c(tab, accel, h, c)
+
+    y_q = np.asarray(ex_to_f64(q.ys))
+    y_f = np.asarray(ex_to_f64(qf.ys))
+    truth = np.asarray(c.ys.hi[0]) + np.asarray(c.ys.lo[0])
+    err_q = np.abs(y_q - truth).max()
+    err_f = np.abs(y_f - truth).max()
+    floor = np.abs(truth).max() * 2.0**-40
+    assert err_f <= max(5.0 * err_q, floor), (err_f, err_q, floor)
+
+    # deferred velocity agrees through the converted carry
+    v_q = np.asarray(multistep.elm2_velocity_q(tab, q, h))
+    v_f = np.asarray(multistep.elm2_velocity_qf(tab, qf, h))
+    np.testing.assert_allclose(v_f, v_q, atol=np.abs(v_q).max() * 1e-9, rtol=0)
+
+    # round-trip conversion preserves the ring VALUES exactly (the pair
+    # representation re-canonicalises: hi+lo is what is exact, not the split)
+    back = multistep.elm2_qf_from_q(multistep.elm2_qf_to_q(qf))
+    val = lambda p: np.asarray(p.hi, np.float64) + np.asarray(p.lo, np.float64)
+    np.testing.assert_array_equal(val(back.dd), val(qf.dd))
+
+
+def ex_to_f64(ys):
+    from ephemeris_explorer_tpu.ops import expansion as ex
+
+    return ex.to_f64(tuple(l[0] for l in ys))
