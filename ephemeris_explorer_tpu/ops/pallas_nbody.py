@@ -432,3 +432,173 @@ def pairwise_accel_limbs_pair(
             interpret=interpret,
         )(lane[0], lane[1], lane[2], mu_hi, mu_lo, l0, l1, l2)
     return ah, al
+
+
+# ---------------------------------------------------------------------------
+# Symmetric (Newton's-third-law) two-float kernel
+# ---------------------------------------------------------------------------
+#
+# The reference computes each pair ONCE and scatters the force to both
+# bodies (particular AccelerationPaired, used at
+# ephemeris/src/propagators/nbody.rs:29).  The row-sweep kernels above
+# instead evaluate every (i, j) AND (j, i) because a tile-local scatter is
+# race-free that way.  At N=4096 the two-float pipeline sits at the VPU
+# f32 roofline, so the remaining ~1.5x is algorithmic: a (T, T) upper-
+# triangle grid where each pair tile is evaluated once - the expensive
+# rsqrt chain is shared - and accumulated to BOTH receiver sets.  TPU
+# Pallas grids execute sequentially on the core, so two whole-array
+# accumulator outputs with constant index maps stay resident in VMEM for
+# the entire grid and read-modify-write accumulation is race-free.  The
+# column-side accumulator lives lane-major (3, N) so its (1, T) partial
+# sums write without a sublane transpose.
+
+
+def _accel_kernel_sym(
+    pos_hi_ref, pos_lo_ref,      # (3, N) lane-major source positions
+    mu_hi_ref, mu_lo_ref,        # (1, N) lane-major mu
+    rows_hi_ref, rows_lo_ref,    # (N, 3) sublane-major receiver positions
+    mu_r_hi_ref, mu_r_lo_ref,    # (N, 1) sublane-major mu
+    row_hi_ref, row_lo_ref,      # out (N, 3): row-side accumulator
+    col_hi_ref, col_lo_ref,      # out (3, N): column-side accumulator
+    *, n_bodies: int, tile: int,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _init():
+        row_hi_ref[:, :] = jnp.zeros_like(row_hi_ref)
+        row_lo_ref[:, :] = jnp.zeros_like(row_lo_ref)
+        col_hi_ref[:, :] = jnp.zeros_like(col_hi_ref)
+        col_lo_ref[:, :] = jnp.zeros_like(col_lo_ref)
+
+    @pl.when(j >= i)
+    def _work():
+        t = tile
+        i0 = jax.lax.mul(i, jnp.int32(t))
+        c0 = jax.lax.mul(j, jnp.int32(t))
+        row_ids = jax.lax.add(jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0), i0)
+        col_ids = jax.lax.add(jax.lax.broadcasted_iota(jnp.int32, (1, t), 1), c0)
+        self_mask = row_ids == col_ids
+
+        rows_hi = rows_hi_ref[pl.ds(i0, t), :]   # (T, 3)
+        rows_lo = rows_lo_ref[pl.ds(i0, t), :]
+
+        d = []
+        for c in range(3):
+            pj = TwoFloat(
+                pos_hi_ref[c, pl.ds(c0, t)][None, :],
+                pos_lo_ref[c, pl.ds(c0, t)][None, :],
+            )
+            pi = TwoFloat(rows_hi[:, c][:, None], rows_lo[:, c][:, None])
+            d.append(eft.sub(pj, pi))
+
+        d_splits = [eft.split(dc.hi) for dc in d]
+        r2 = eft.add(
+            eft.add(_sqr_presplit(d[0], d_splits[0]), _sqr_presplit(d[1], d_splits[1])),
+            _sqr_presplit(d[2], d_splits[2]),
+        )
+        one = jnp.ones_like(r2.hi)
+        r2 = eft.where(self_mask, TwoFloat(one, jnp.zeros_like(one)), r2)
+
+        u = _rsqrt_df(r2)
+        w = eft.mul(eft.sqr(u), u)               # 1/r^3, no mu yet
+        zero = jnp.zeros_like(w.hi)
+        w = eft.where(self_mask, TwoFloat(zero, zero), w)
+        w_split = eft.split(w.hi)
+
+        # row receivers i: a_i += sum_cols mu_j * w * d
+        mu_c = TwoFloat(mu_hi_ref[0, pl.ds(c0, t)][None, :],
+                        mu_lo_ref[0, pl.ds(c0, t)][None, :])
+        mu_c_split = eft.split(mu_c.hi)
+        wr = eft.mul_presplit(w, w_split, mu_c, mu_c_split)
+        wr_split = eft.split(wr.hi)
+        for c in range(3):
+            term = eft.mul_presplit(wr, wr_split, d[c], d_splits[c])
+            s = _dd_tree_sum(term, axis=1)       # (T, 1)
+            cur = TwoFloat(row_hi_ref[pl.ds(i0, t), c][:, None],
+                           row_lo_ref[pl.ds(i0, t), c][:, None])
+            acc = eft.add_sloppy(cur, s)
+            row_hi_ref[pl.ds(i0, t), c] = acc.hi[:, 0]
+            row_lo_ref[pl.ds(i0, t), c] = acc.lo[:, 0]
+
+        # column receivers j (j > i only; diagonal tiles are fully covered
+        # by the row-side sum): a_j -= sum_rows mu_i * w * d
+        @pl.when(j > i)
+        def _cols():
+            mu_r = TwoFloat(mu_r_hi_ref[pl.ds(i0, t), :],
+                            mu_r_lo_ref[pl.ds(i0, t), :])   # (T, 1)
+            mu_r_split = eft.split(mu_r.hi)
+            wc = eft.mul_presplit(w, w_split, mu_r, mu_r_split)
+            wc_split = eft.split(wc.hi)
+            for c in range(3):
+                term = eft.mul_presplit(wc, wc_split, d[c], d_splits[c])
+                s = _dd_tree_sum(term, axis=0)   # (1, T)
+                cur = TwoFloat(col_hi_ref[c, pl.ds(c0, t)][None, :],
+                               col_lo_ref[c, pl.ds(c0, t)][None, :])
+                acc = eft.add_sloppy(cur, TwoFloat(-s.hi, -s.lo))
+                col_hi_ref[c, pl.ds(c0, t)] = acc.hi[0]
+                col_lo_ref[c, pl.ds(c0, t)] = acc.lo[0]
+
+
+@partial(jax.jit, static_argnames=("tile", "interpret"))
+def pairwise_accel_df64_sym(
+    pos_hi, pos_lo, mu_hi, mu_lo, tile: int = 256, interpret: bool = False
+):
+    """Symmetric pairwise accelerations in two-float precision.
+
+    pos_hi/pos_lo: (3, N) f32 component-major split positions.
+    mu_hi/mu_lo: (1, N) f32 split gravitational parameters.
+    Returns (acc_hi, acc_lo) of shape (N, 3).
+    """
+    n = pos_hi.shape[1]
+    tile = min(tile, n)
+    assert n % tile == 0
+    nt = n // tile
+
+    rows_hi = pos_hi.T
+    rows_lo = pos_lo.T
+    mu_r_hi = mu_hi.reshape(-1, 1)
+    mu_r_lo = mu_lo.reshape(-1, 1)
+
+    kernel = partial(_accel_kernel_sym, n_bodies=n, tile=tile)
+    with jax.enable_x64(False):
+        row_hi, row_lo, col_hi, col_lo = pl.pallas_call(
+            kernel,
+            grid=(nt, nt),
+            in_specs=[
+                pl.BlockSpec((3, n), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, n), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, 3), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, 3), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((n, 3), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, 3), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, n), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, n), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n, 3), jnp.float32),
+                jax.ShapeDtypeStruct((n, 3), jnp.float32),
+                jax.ShapeDtypeStruct((3, n), jnp.float32),
+                jax.ShapeDtypeStruct((3, n), jnp.float32),
+            ],
+            interpret=interpret,
+        )(pos_hi, pos_lo, mu_hi, mu_lo, rows_hi, rows_lo, mu_r_hi, mu_r_lo)
+    # combine the two receiver-side partial sums (cheap O(N) XLA pass)
+    row = TwoFloat(row_hi, row_lo)
+    col = TwoFloat(col_hi.T, col_lo.T)
+    s = eft.add_sloppy(row, col)
+    return s.hi, s.lo
+
+
+def pairwise_accel_sym(pos, mu_hi, mu_lo, interpret: bool = False, **kw):
+    """Drop-in symmetric O(N^2/2) acceleration: f64 (N, 3) in/out."""
+    ph, plo = split_f64(pos, transpose=True)
+    ah, al = pairwise_accel_df64_sym(ph, plo, mu_hi, mu_lo, interpret=interpret, **kw)
+    return combine_f64(ah, al)

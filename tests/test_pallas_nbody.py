@@ -211,3 +211,30 @@ def ex_to_f64(ys):
     from ephemeris_explorer_tpu.ops import expansion as ex
 
     return ex.to_f64(tuple(l[0] for l in ys))
+
+
+@pytest.mark.skipif(not HAVE_PALLAS, reason="pallas unavailable")
+def test_symmetric_kernel_matches_row_sweep():
+    """The upper-triangle symmetric kernel reproduces the row-sweep df64
+    kernel to the two-float working precision."""
+    from ephemeris_explorer_tpu.ops.pallas_nbody import (
+        pairwise_accel,
+        pairwise_accel_sym,
+    )
+
+    n = 32
+    rng = np.random.default_rng(3)
+    pos = rng.normal(size=(n, 3)) * 1.0e6
+    mu = rng.uniform(1.0e3, 1.0e5, size=n)
+    mu_hi, mu_lo = split_f64(jnp.asarray(mu).reshape(1, n))
+
+    ref = np.asarray(
+        pairwise_accel(jnp.asarray(pos), mu_hi, mu_lo,
+                       interpret=True, tile_rows=8, tile_cols=8)
+    )
+    sym = np.asarray(
+        pairwise_accel_sym(jnp.asarray(pos), mu_hi, mu_lo,
+                           interpret=True, tile=8)
+    )
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(sym, ref, atol=scale * 2.0**-44, rtol=0)
