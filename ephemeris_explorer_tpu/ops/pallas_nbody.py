@@ -458,31 +458,38 @@ def _accel_kernel_sym(
     mu_hi_ref, mu_lo_ref,        # (1, N) lane-major mu
     rows_hi_ref, rows_lo_ref,    # (N, 3) sublane-major receiver positions
     mu_r_hi_ref, mu_r_lo_ref,    # (N, 1) sublane-major mu
-    row_hi_ref, row_lo_ref,      # out (N, 3): row-side accumulator
+    row_hi_ref, row_lo_ref,      # out (tile, 3) blocks: row-side accumulator
     col_hi_ref, col_lo_ref,      # out (3, N): column-side accumulator
     *, n_bodies: int, tile: int,
 ):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+    """Row-tile grid; inner fori over column tiles j >= i.
 
-    @pl.when(jnp.logical_and(i == 0, j == 0))
+    The row-side accumulator lives in registers across the inner loop and
+    is written once per grid step; only the column-side scatter
+    read-modify-writes its resident (3, N) block.  The diagonal tile is
+    handled branch-free: its column-side contribution is masked to zero
+    (within-tile pairs are fully counted by the row-side sum).
+    """
+    t = tile
+    i = pl.program_id(0)
+    i0 = jax.lax.mul(i, jnp.int32(t))
+    n_tiles = n_bodies // t
+
+    @pl.when(i == 0)
     def _init():
-        row_hi_ref[:, :] = jnp.zeros_like(row_hi_ref)
-        row_lo_ref[:, :] = jnp.zeros_like(row_lo_ref)
         col_hi_ref[:, :] = jnp.zeros_like(col_hi_ref)
         col_lo_ref[:, :] = jnp.zeros_like(col_lo_ref)
 
-    @pl.when(j >= i)
-    def _work():
-        t = tile
-        i0 = jax.lax.mul(i, jnp.int32(t))
+    row_ids = jax.lax.add(jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0), i0)
+    rows_hi = rows_hi_ref[pl.ds(i0, t), :]   # (T, 3)
+    rows_lo = rows_lo_ref[pl.ds(i0, t), :]
+    mu_r = TwoFloat(mu_r_hi_ref[pl.ds(i0, t), :], mu_r_lo_ref[pl.ds(i0, t), :])
+    mu_r_split = eft.split(mu_r.hi)
+
+    def col_tile(j, acc):
         c0 = jax.lax.mul(j, jnp.int32(t))
-        row_ids = jax.lax.add(jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0), i0)
         col_ids = jax.lax.add(jax.lax.broadcasted_iota(jnp.int32, (1, t), 1), c0)
         self_mask = row_ids == col_ids
-
-        rows_hi = rows_hi_ref[pl.ds(i0, t), :]   # (T, 3)
-        rows_lo = rows_lo_ref[pl.ds(i0, t), :]
 
         d = []
         for c in range(3):
@@ -513,32 +520,35 @@ def _accel_kernel_sym(
         mu_c_split = eft.split(mu_c.hi)
         wr = eft.mul_presplit(w, w_split, mu_c, mu_c_split)
         wr_split = eft.split(wr.hi)
+        acc_new = []
         for c in range(3):
             term = eft.mul_presplit(wr, wr_split, d[c], d_splits[c])
             s = _dd_tree_sum(term, axis=1)       # (T, 1)
-            cur = TwoFloat(row_hi_ref[pl.ds(i0, t), c][:, None],
-                           row_lo_ref[pl.ds(i0, t), c][:, None])
-            acc = eft.add_sloppy(cur, s)
-            row_hi_ref[pl.ds(i0, t), c] = acc.hi[:, 0]
-            row_lo_ref[pl.ds(i0, t), c] = acc.lo[:, 0]
+            acc_new.append(eft.add_sloppy(acc[c], s))
 
-        # column receivers j (j > i only; diagonal tiles are fully covered
-        # by the row-side sum): a_j -= sum_rows mu_i * w * d
-        @pl.when(j > i)
-        def _cols():
-            mu_r = TwoFloat(mu_r_hi_ref[pl.ds(i0, t), :],
-                            mu_r_lo_ref[pl.ds(i0, t), :])   # (T, 1)
-            mu_r_split = eft.split(mu_r.hi)
-            wc = eft.mul_presplit(w, w_split, mu_r, mu_r_split)
-            wc_split = eft.split(wc.hi)
-            for c in range(3):
-                term = eft.mul_presplit(wc, wc_split, d[c], d_splits[c])
-                s = _dd_tree_sum(term, axis=0)   # (1, T)
-                cur = TwoFloat(col_hi_ref[c, pl.ds(c0, t)][None, :],
-                               col_lo_ref[c, pl.ds(c0, t)][None, :])
-                acc = eft.add_sloppy(cur, TwoFloat(-s.hi, -s.lo))
-                col_hi_ref[c, pl.ds(c0, t)] = acc.hi[0]
-                col_lo_ref[c, pl.ds(c0, t)] = acc.lo[0]
+        # column receivers j: a_j -= sum_rows mu_i * w * d; masked out on
+        # the diagonal tile
+        cmask = (j > i).astype(jnp.float32)
+        wc = eft.mul_presplit(w, w_split, mu_r, mu_r_split)
+        wc_split = eft.split(wc.hi)
+        for c in range(3):
+            term = eft.mul_presplit(wc, wc_split, d[c], d_splits[c])
+            s = _dd_tree_sum(term, axis=0)       # (1, T)
+            cur = TwoFloat(col_hi_ref[c, pl.ds(c0, t)][None, :],
+                           col_lo_ref[c, pl.ds(c0, t)][None, :])
+            acc_c = eft.add_sloppy(cur, TwoFloat(-s.hi * cmask, -s.lo * cmask))
+            col_hi_ref[c, pl.ds(c0, t)] = acc_c.hi[0]
+            col_lo_ref[c, pl.ds(c0, t)] = acc_c.lo[0]
+        return tuple(acc_new)
+
+    acc0 = tuple(
+        TwoFloat(jnp.zeros((t, 1), jnp.float32), jnp.zeros((t, 1), jnp.float32))
+        for _ in range(3)
+    )
+    acc = jax.lax.fori_loop(i, jnp.int32(n_tiles), col_tile, acc0)
+    for c in range(3):
+        row_hi_ref[:, c : c + 1] = acc[c].hi
+        row_lo_ref[:, c : c + 1] = acc[c].lo
 
 
 @partial(jax.jit, static_argnames=("tile", "interpret"))
@@ -565,22 +575,22 @@ def pairwise_accel_df64_sym(
     with jax.enable_x64(False):
         row_hi, row_lo, col_hi, col_lo = pl.pallas_call(
             kernel,
-            grid=(nt, nt),
+            grid=(nt,),
             in_specs=[
-                pl.BlockSpec((3, n), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((3, n), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((n, 3), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((n, 3), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((n, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((n, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((n, 3), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((n, 3), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((3, n), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((3, n), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((n, 3), jnp.float32),
