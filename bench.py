@@ -66,11 +66,22 @@ def bench_headline() -> dict:
     mu_dev = jnp.asarray(mu)
     h = 600.0
 
-    # Pallas two-float pair kernel (compute-bound, ~1.6x the fused-XLA f64
-    # path); fall back to the jnp kernel if the platform can't lower it.
+    # Pallas two-float pair kernel + fused pair-state update (the whole
+    # step stays in (hi, lo) f32 pairs - no emulated-f64 round trips);
+    # fall back to the jnp kernel + plain carry if the platform can't
+    # lower Pallas.
+    from ephemeris_explorer_tpu.integrators.multistep import elm2_velocity
+
     try:
+        from ephemeris_explorer_tpu.integrators.multistep import (
+            elm2_f_from,
+            elm2_step_f,
+            elm2_velocity_f,
+        )
+        from ephemeris_explorer_tpu.ops.eft import TwoFloat
         from ephemeris_explorer_tpu.ops.pallas_nbody import (
             pairwise_accel as pallas_accel,
+            pairwise_accel_df64,
             split_f64,
         )
 
@@ -79,24 +90,38 @@ def bench_headline() -> dict:
         def accel(t, y):
             return pallas_accel(y, mu_hi, mu_lo)
 
+        def accel_pair(t, y):
+            ah, al = pairwise_accel_df64(y.hi.T, y.lo.T, mu_hi, mu_lo)
+            return TwoFloat(ah, al)
+
         _probe = np.asarray(accel(0.0, jnp.asarray(pos)))
         assert np.isfinite(_probe).all()
+
+        @jax.jit
+        def chunk(carry):
+            def body(c, _):
+                return elm2_step_f(tab, accel_pair, h, c), None
+
+            c, _ = jax.lax.scan(body, carry, None, length=STEPS_PER_CHUNK)
+            return c._replace(dy=elm2_velocity_f(tab, c, h))
+
+        init = jax.jit(
+            lambda p, v: elm2_f_from(elm2_init(tab, accel, 0.0, p, v, h))
+        )
     except Exception:
 
         def accel(t, y):
             return nbody.pairwise_accel(y, mu_dev)
 
-    from ephemeris_explorer_tpu.integrators.multistep import elm2_velocity
+        @jax.jit
+        def chunk(carry):
+            def body(c, _):
+                return elm2_step(tab, accel, h, c, with_velocity=False), None
 
-    @jax.jit
-    def chunk(carry):
-        def body(c, _):
-            return elm2_step(tab, accel, h, c, with_velocity=False), None
+            c, _ = jax.lax.scan(body, carry, None, length=STEPS_PER_CHUNK)
+            return c._replace(dy=elm2_velocity(tab, c, h))
 
-        c, _ = jax.lax.scan(body, carry, None, length=STEPS_PER_CHUNK)
-        return c._replace(dy=elm2_velocity(tab, c, h))
-
-    init = jax.jit(lambda p, v: elm2_init(tab, accel, 0.0, p, v, h))
+        init = jax.jit(lambda p, v: elm2_init(tab, accel, 0.0, p, v, h))
     carry = init(jnp.asarray(pos), jnp.asarray(vel))
     carry = chunk(carry)
     _force(carry.ys)
@@ -282,12 +307,18 @@ def bench_ensemble() -> dict:
     pos = np.stack([_cluster(N_BODIES, seed=i)[0] for i in range(E)])
     vel = np.stack([_cluster(N_BODIES, seed=i)[1] for i in range(E)])
 
-    # fused single-kernel ensemble grid (the multi-chip GSPMD path keeps the
-    # vmapped layout; measured +22% single-chip from fusing the dispatch)
-    carry = sh.init_fused_ensemble_carry(tab, mu, 0.0, pos, vel, h)
+    # fused single-kernel ensemble grid + fused pair-state update (the
+    # multi-chip GSPMD path keeps the vmapped layout; measured +22%
+    # single-chip from fusing the dispatch)
+    carry0 = sh.init_fused_ensemble_carry(tab, mu, 0.0, pos, vel, h)
     steps = 20
-    run = sh.make_fused_ensemble_scan(tab, mu, h, steps)
-    carry = run(carry)
+    try:
+        run, to_f = sh.make_fused_ensemble_scan_f(tab, mu, h, steps)
+        carry = run(to_f(carry0))
+        assert np.isfinite(_force(carry.ys))
+    except Exception:
+        run = sh.make_fused_ensemble_scan(tab, mu, h, steps)
+        carry = run(carry0)
     _force(carry.ys)
 
     t0 = time.perf_counter()

@@ -571,3 +571,74 @@ def elm2_step_qf(
 
 def elm2_velocity_qf(tab: ELMTableau, carry: ELM2CarryQF, h) -> jax.Array:
     return elm2_velocity_q(tab, elm2_qf_to_q(carry), h)
+
+
+# ---------------------------------------------------------------------------
+# Fused two-float path: the f64-equivalent state as (hi, lo) f32 pairs
+# ---------------------------------------------------------------------------
+#
+# The plain ELM2Carry integrates in XLA's emulated f64 (~2^-48, unfused
+# elementwise chains).  This variant keeps the SAME working precision as
+# explicit TwoFloat pairs and runs the whole position update in one VMEM
+# kernel (ops/pallas_elm2.elm2f_update); the force ring holds the pair
+# kernels' native (hi, lo) output.  Headline/ensemble throughput path.
+
+
+class ELM2CarryF(NamedTuple):
+    t: jax.Array
+    ys: TwoFloat       # (ORDER, ..., 3) f32 pair ring, newest first
+    dd: TwoFloat       # (ORDER, ..., 3) f32 pair ring, dd[j] = f(ys[j])
+    dy: jax.Array      # base-precision velocity (stale during scans)
+
+
+def _split_pair(x) -> TwoFloat:
+    hi = x.astype(jnp.float32)
+    lo = (x - hi.astype(x.dtype)).astype(jnp.float32)
+    return TwoFloat(hi, lo)
+
+
+def elm2_f_from(carry: ELM2Carry) -> ELM2CarryF:
+    """Exact conversion of an f64 carry (hi + lo == the f64 values)."""
+    return ELM2CarryF(
+        t=carry.t,
+        ys=_split_pair(carry.ys),
+        dd=_split_pair(carry.ddys),
+        dy=carry.dy,
+    )
+
+
+def elm2_f_to(carry: ELM2CarryF) -> ELM2Carry:
+    comb = lambda p: p.hi.astype(jnp.float64) + p.lo.astype(jnp.float64)  # noqa: E731
+    return ELM2Carry(t=carry.t, ys=comb(carry.ys), ddys=comb(carry.dd), dy=carry.dy)
+
+
+def elm2_init_f(tab: ELMTableau, accel, t0, y0, dy0, h) -> ELM2CarryF:
+    return elm2_f_from(elm2_init(tab, accel, t0, y0, dy0, h))
+
+
+def elm2_step_f(
+    tab: ELMTableau, accel_pair, h, carry: ELM2CarryF, interpret: bool = False
+) -> ELM2CarryF:
+    """One fused two-float multistep step.
+
+    ``accel_pair(t, y: TwoFloat) -> TwoFloat`` evaluates the force from a
+    pair-state position of shape (..., 3) (e.g. the Pallas df64 kernels'
+    split interface).  Velocity is deferred (:func:`elm2_velocity_f`).
+    """
+    from ..ops.pallas_elm2 import elm2f_update
+
+    y_new = elm2f_update(tab, h, carry.ys, carry.dd, interpret=interpret)
+    t_new = carry.t + h
+    f_new = accel_pair(t_new, y_new)
+
+    shift = lambda new, ring: jnp.concatenate([new[None], ring[: tab.order - 1]])  # noqa: E731
+    return ELM2CarryF(
+        t=t_new,
+        ys=TwoFloat(shift(y_new.hi, carry.ys.hi), shift(y_new.lo, carry.ys.lo)),
+        dd=TwoFloat(shift(f_new.hi, carry.dd.hi), shift(f_new.lo, carry.dd.lo)),
+        dy=carry.dy,
+    )
+
+
+def elm2_velocity_f(tab: ELMTableau, carry: ELM2CarryF, h) -> jax.Array:
+    return elm2_velocity(tab, elm2_f_to(carry), h)

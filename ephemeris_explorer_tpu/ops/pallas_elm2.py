@@ -62,30 +62,45 @@ def _split_const(x: float) -> tuple[float, float]:
     return float(hi), float(lo)
 
 
+def _coef_reader(coef_ref, m: int, splat: bool):
+    """Read the split coefficient row j as a (1, M) TwoFloat.
+
+    splat=True (device/Mosaic): coef_ref is a small (order+1, 2) SMEM
+    array; scalars are splat in-kernel - Mosaic performs no unsafe
+    scalar rewrites.  splat=False (interpret on XLA:CPU): coef_ref is the
+    pre-broadcast (order+1, 2, M) VMEM array, because XLA:CPU re-rounds
+    pure-scalar f32 chains (see module docstring) and an in-kernel splat
+    can be sunk back to scalars.
+    """
+    if splat:
+        return lambda j: TwoFloat(
+            jnp.full((1, m), coef_ref[j, 0]), jnp.full((1, m), coef_ref[j, 1])
+        )
+    return lambda j: TwoFloat(coef_ref[j, 0, :][None, :], coef_ref[j, 1, :][None, :])
+
+
 def _update_kernel(
     coef_ref,
     ys0_ref, ys1_ref, ys2_ref, ys3_ref, ddh_ref, ddl_ref,
     o0_ref, o1_ref, o2_ref, o3_ref,
-    *, order: int, c_y: tuple, dy_nonzero: tuple,
+    *, order: int, c_y: tuple, dy_nonzero: tuple, m: int, splat: bool,
 ):
     """One block of the position update.
 
-    coef_ref: (order + 1, 2, M) f32 in VMEM - rows j < order are the split
-    c_dy[j] broadcast over M, row `order` is the split h^2/beta_d factor.
+    coef_ref: split c_dy rows + the h^2/beta_d factor (see _coef_reader).
     Other refs: limb/pair rings (ORDER, M) f32; outputs (1, M) f32.
     """
+    coef = _coef_reader(coef_ref, m, splat)
     # weighted acceleration sum in TwoFloat arithmetic.  The c_dy
     # coefficients alternate in sign with ~6x cancellation, so partial
     # sums pass near zero: the accurate add is REQUIRED (add_sloppy's
     # quick_two_sum precondition |s| >= |e| fails under cancellation).
     acc = None
     for j in dy_nonzero:
-        c = TwoFloat(coef_ref[j, 0, :][None, :], coef_ref[j, 1, :][None, :])
         dd = TwoFloat(ddh_ref[j, :][None, :], ddl_ref[j, :][None, :])
-        term = eft.mul(dd, c)
+        term = eft.mul(dd, coef(j))
         acc = term if acc is None else eft.add(acc, term)
-    k = TwoFloat(coef_ref[order, 0, :][None, :], coef_ref[order, 1, :][None, :])
-    inc = eft.mul(acc, k)
+    inc = eft.mul(acc, coef(order))
 
     # alpha combination over the position ring (exact +-2^k scalings),
     # then the increment add - same add/renorm cascade as ops.expansion
@@ -107,22 +122,40 @@ def _update_kernel(
     o3_ref[:, :] = y_new[3]
 
 
+def _lane_block(m: int, n_rings: int, order: int) -> int:
+    """Largest divisor of m keeping one block's ring traffic under ~8 MB."""
+    budget = (8 << 20) // (n_rings * order * 4)
+    mt = m
+    while mt > budget and mt % 2 == 0:
+        mt //= 2
+    return mt
+
+
 @partial(jax.jit, static_argnames=("order", "c_y", "dy_nonzero", "interpret"))
 def _elm2q_update_flat(
     coef, ys, ddh, ddl, *, order, c_y, dy_nonzero, interpret=False
 ):
     o, m = ys[0].shape
-    # whole-M blocks: at ORDER=12, N=4096 the operands are ~3.5 MB - VMEM
-    # holds the full problem, no grid needed
+    # lane-blocked grid: at ORDER=12, N=4096 one block holds the whole
+    # problem (~3.5 MB); larger batches (ensembles) split along lanes
+    mt = _lane_block(m, 6, o)
     kernel = partial(
-        _update_kernel, order=order, c_y=c_y, dy_nonzero=dy_nonzero
+        _update_kernel, order=order, c_y=c_y, dy_nonzero=dy_nonzero,
+        m=mt, splat=not interpret,
     )
+    coef_spec = (
+        pl.BlockSpec((o + 1, 2, mt), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+        if interpret
+        else pl.BlockSpec(memory_space=pltpu.SMEM)
+    )
+    ring = pl.BlockSpec((o, mt), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out = pl.BlockSpec((1, mt), lambda i: (0, i), memory_space=pltpu.VMEM)
     with jax.enable_x64(False):
         outs = pl.pallas_call(
             kernel,
-            grid=(),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
-            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+            grid=(m // mt,),
+            in_specs=[coef_spec] + [ring] * 6,
+            out_specs=[out] * 4,
             out_shape=[jax.ShapeDtypeStruct((1, m), jnp.float32)] * 4,
             interpret=interpret,
         )(coef, ys[0], ys[1], ys[2], ys[3], ddh, ddl)
@@ -136,6 +169,15 @@ def elm2_update_coeffs(tab, h: float) -> np.ndarray:
     return np.asarray(rows, dtype=np.float32)
 
 
+def _coef_array(tab, h: float, o: int, m: int, interpret: bool):
+    """(order+1, 2) for device SMEM, or pre-broadcast (order+1, 2, M) for
+    interpret mode (see _coef_reader)."""
+    c = elm2_update_coeffs(tab, h)
+    if interpret:
+        return jnp.asarray(np.broadcast_to(c[:, :, None], (o + 1, 2, m)))
+    return jnp.asarray(c)
+
+
 def elm2q_update(tab, h: float, ys: tuple, dd: TwoFloat, interpret: bool = False):
     """y_{n+1} limbs from the (aligned) position/acceleration rings.
 
@@ -147,9 +189,7 @@ def elm2q_update(tab, h: float, ys: tuple, dd: TwoFloat, interpret: bool = False
     m = n * three
     flat = tuple(l.reshape(o, m) for l in ys)
     assert all(abs(c) in (0.0, 1.0, 2.0) for c in tab.c_y), tab.name
-    coef = jnp.asarray(
-        np.broadcast_to(elm2_update_coeffs(tab, h)[:, :, None], (o + 1, 2, m))
-    )
+    coef = _coef_array(tab, h, o, m, interpret)
     dy_nonzero = tuple(
         j for j, c in enumerate(tab.c_dy) if float(c) != 0.0
     )
@@ -164,3 +204,99 @@ def elm2q_update(tab, h: float, ys: tuple, dd: TwoFloat, interpret: bool = False
         interpret=interpret,
     )
     return tuple(l.reshape(n, three) for l in outs)
+
+
+# ---------------------------------------------------------------------------
+# Two-float (K=2) variant: the f64-equivalent production state
+# ---------------------------------------------------------------------------
+#
+# Same structure as the 4-limb kernel above, for the plain "df64" state the
+# headline and ensemble configurations integrate: positions as TwoFloat
+# (hi, lo) f32 pairs - the same ~2^-48 working precision as XLA's emulated
+# f64, computed with correctly-rounded EFTs instead of the emulation's
+# unfused elementwise chains.  At 16 x 4096 the emulated-f64 state update
+# was ~30% of the ensemble step.
+
+
+def _update_kernel2(
+    coef_ref,
+    ysh_ref, ysl_ref, ddh_ref, ddl_ref,
+    oh_ref, ol_ref,
+    *, order: int, c_y: tuple, dy_nonzero: tuple, m: int, splat: bool,
+):
+    coef = _coef_reader(coef_ref, m, splat)
+    acc = None
+    for j in dy_nonzero:
+        dd = TwoFloat(ddh_ref[j, :][None, :], ddl_ref[j, :][None, :])
+        term = eft.mul(dd, coef(j))
+        acc = term if acc is None else eft.add(acc, term)
+    inc = eft.mul(acc, coef(order))
+
+    # alpha combination: exact +-2^k scalings, accurate adds (2y_n - y_{n-1}
+    # cancels catastrophically by construction)
+    sum1 = None
+    for j in range(order):
+        c = float(c_y[j])
+        if c == 0.0:
+            continue
+        cf = jnp.float32(c)
+        term = TwoFloat(ysh_ref[j, :][None, :] * cf, ysl_ref[j, :][None, :] * cf)
+        sum1 = term if sum1 is None else eft.add(sum1, term)
+    y = eft.add(sum1, inc)
+    oh_ref[:, :] = y.hi
+    ol_ref[:, :] = y.lo
+
+
+@partial(jax.jit, static_argnames=("order", "c_y", "dy_nonzero", "interpret"))
+def _elm2f_update_flat(
+    coef, ysh, ysl, ddh, ddl, *, order, c_y, dy_nonzero, interpret=False
+):
+    o, m = ysh.shape
+    mt = _lane_block(m, 4, o)
+    kernel = partial(
+        _update_kernel2, order=order, c_y=c_y, dy_nonzero=dy_nonzero,
+        m=mt, splat=not interpret,
+    )
+    coef_spec = (
+        pl.BlockSpec((o + 1, 2, mt), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+        if interpret
+        else pl.BlockSpec(memory_space=pltpu.SMEM)
+    )
+    ring = pl.BlockSpec((o, mt), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out = pl.BlockSpec((1, mt), lambda i: (0, i), memory_space=pltpu.VMEM)
+    with jax.enable_x64(False):
+        outs = pl.pallas_call(
+            kernel,
+            grid=(m // mt,),
+            in_specs=[coef_spec] + [ring] * 4,
+            out_specs=[out] * 2,
+            out_shape=[jax.ShapeDtypeStruct((1, m), jnp.float32)] * 2,
+            interpret=interpret,
+        )(coef, ysh, ysl, ddh, ddl)
+    return outs
+
+
+def elm2f_update(tab, h: float, ys: TwoFloat, dd: TwoFloat, interpret: bool = False):
+    """y_{n+1} pair from TwoFloat position/acceleration rings.
+
+    ys/dd: TwoFloat of (ORDER, ..., 3) f32, newest first, aligned.
+    Returns a TwoFloat of shape (..., 3).
+    """
+    shape = ys.hi.shape
+    o = shape[0]
+    m = int(np.prod(shape[1:]))
+    assert all(abs(c) in (0.0, 1.0, 2.0) for c in tab.c_y), tab.name
+    coef = _coef_array(tab, h, o, m, interpret)
+    dy_nonzero = tuple(j for j, c in enumerate(tab.c_dy) if float(c) != 0.0)
+    oh, ol = _elm2f_update_flat(
+        coef,
+        ys.hi.reshape(o, m),
+        ys.lo.reshape(o, m),
+        dd.hi.reshape(o, m),
+        dd.lo.reshape(o, m),
+        order=o,
+        c_y=tuple(float(c) for c in tab.c_y),
+        dy_nonzero=dy_nonzero,
+        interpret=interpret,
+    )
+    return TwoFloat(oh.reshape(shape[1:]), ol.reshape(shape[1:]))

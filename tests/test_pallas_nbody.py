@@ -238,3 +238,56 @@ def test_symmetric_kernel_matches_row_sweep():
     )
     scale = np.abs(ref).max()
     np.testing.assert_allclose(sym, ref, atol=scale * 2.0**-44, rtol=0)
+
+
+@pytest.mark.skipif(not HAVE_PALLAS, reason="pallas unavailable")
+def test_fused_twofloat_state_matches_plain():
+    """elm2_step_f (pair state + K=2 VMEM update kernel) holds the same
+    error envelope vs the double-double truth as the plain emulated-f64
+    carry it replaces."""
+    from ephemeris_explorer_tpu.integrators import get
+    from ephemeris_explorer_tpu.integrators import multistep
+    from ephemeris_explorer_tpu.ops import nbody
+    from ephemeris_explorer_tpu.ops.eft import TwoFloat
+    from ephemeris_explorer_tpu.ops.pallas_nbody import pairwise_accel_df64
+
+    n = 8
+    rng = np.random.default_rng(11)
+    pos = rng.normal(size=(n, 3)) * 1.0e6
+    vel = rng.normal(size=(n, 3)) * 1.0
+    mu = rng.uniform(1.0e3, 1.0e5, size=n)
+    mu_j = jnp.asarray(mu)
+    mu_hi, mu_lo = split_f64(mu_j.reshape(1, -1))
+    h = 600.0
+    tab = get("QuinlanTremaine12")
+    accel = lambda t, y: nbody.pairwise_accel(y, mu_j)
+
+    def accel_pair(t, y):
+        ah, al = pairwise_accel_df64(
+            y.hi.T, y.lo.T, mu_hi, mu_lo, interpret=True, tile_rows=8, tile_cols=8
+        )
+        return TwoFloat(ah, al)
+
+    p0 = multistep.elm2_init(tab, accel, 0.0, jnp.asarray(pos), jnp.asarray(vel), h)
+    f = multistep.elm2_f_from(p0)
+    c = multistep.elm2_init_c(tab, accel, 0.0, jnp.asarray(pos), jnp.asarray(vel), h)
+    p = p0
+
+    steps = 30
+    for _ in range(steps):
+        p = multistep.elm2_step(tab, accel, h, p, with_velocity=False)
+        f = multistep.elm2_step_f(tab, accel_pair, h, f, interpret=True)
+        c = multistep.elm2_step_c(tab, accel, h, c)
+
+    truth = np.asarray(c.ys.hi[0]) + np.asarray(c.ys.lo[0])
+    y_p = np.asarray(p.ys[0])
+    y_f = np.asarray(f.ys.hi[0], np.float64) + np.asarray(f.ys.lo[0], np.float64)
+    err_p = np.abs(y_p - truth).max()
+    err_f = np.abs(y_f - truth).max()
+    floor = np.abs(truth).max() * 2.0**-42
+    assert err_f <= max(5.0 * err_p, floor), (err_f, err_p, floor)
+
+    # deferred velocity consistent with the plain Cowell reconstruction
+    v_p = np.asarray(multistep.elm2_velocity(tab, p, h))
+    v_f = np.asarray(multistep.elm2_velocity_f(tab, f, h))
+    np.testing.assert_allclose(v_f, v_p, atol=np.abs(v_p).max() * 1e-8, rtol=0)

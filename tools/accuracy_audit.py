@@ -14,6 +14,9 @@ plain       plain f64 state on the default backend (TPU: ~2^-48 emulated)
 expansion   quad-f32 expansion state + f64 force (elm2_step_q)
 expansion3  expansion state + 3-limb Pallas force (error-free pair deltas)
 expansionF  expansion state + FULL 3-limb force (3-limb r^2/rsqrt/mu chain)
+fused       the PRODUCTION parity engine as benchmarked: expansion state,
+            pair-native 3-limb force, fused Pallas update kernel
+            (elm2_step_qf; interpret-mode Pallas off-TPU)
 
 Examples
 --------
@@ -114,6 +117,31 @@ def _chunk_runner(
             carry = multistep.elm2_init_q(tab, accel, t0, pos, vel, h)
             step = lambda c: multistep.elm2_step_q(  # noqa: E731
                 tab, accel, h, c, accel_limbs=accel_limbs
+            )
+            extract = lambda c: sum(  # noqa: E731
+                np.asarray(l[0], dtype=np.float64) for l in c.ys
+            )
+        elif mode == "fused":
+            # the PRODUCTION parity engine as benchmarked: expansion state,
+            # pair-native 3-limb force, fused Pallas update kernel
+            from ephemeris_explorer_tpu.ops import pallas_nbody as pk
+
+            n = mu.shape[0]
+            mu_hi, mu_lo = pk.split_f64(jnp.asarray(mu).reshape(1, n))
+            interp = jax.default_backend() not in ("tpu", "axon")
+
+            def accel_pair(t, limbs):
+                kw = dict(tile_rows=8, tile_cols=8) if interp else {}
+                return pk.pairwise_accel_limbs_pair(
+                    limbs[0], limbs[1], limbs[2], mu_hi, mu_lo,
+                    interpret=interp, **kw
+                )
+
+            carry = multistep.elm2_qf_from_q(
+                multistep.elm2_init_q(tab, accel, t0, pos, vel, h)
+            )
+            step = lambda c: multistep.elm2_step_qf(  # noqa: E731
+                tab, accel_pair, h, c, interpret=interp
             )
             extract = lambda c: sum(  # noqa: E731
                 np.asarray(l[0], dtype=np.float64) for l in c.ys
