@@ -259,12 +259,13 @@ def make_fused_ensemble_scan(tab, mus, h, n_steps: int):
     return run
 
 
-def make_fused_ensemble_scan_f(tab, mus, h, n_steps: int):
+def make_fused_ensemble_scan_f(tab, mus, h, n_steps: int, interpret: bool = False,
+                               **force_tiles):
     """Fully pair-native ensemble stepping: fused force grid + fused
     TwoFloat state-update kernel, no emulated-f64 ops in the loop.
 
     Returns (run, to_f) where to_f converts an ELM2Carry startup carry.
-    Requires a Pallas-capable backend (TPU or interpret).
+    Requires a Pallas-capable backend (TPU, or CPU with ``interpret``).
     """
     from ..integrators.multistep import ELM2CarryF, elm2_f_from, elm2_step_f, elm2_velocity_f
     from ..ops.eft import TwoFloat
@@ -275,14 +276,15 @@ def make_fused_ensemble_scan_f(tab, mus, h, n_steps: int):
 
     def accel_pair(t, y):  # y: TwoFloat (E, N, 3)
         ah, al = pairwise_accel_df64_ensemble(
-            jnp.swapaxes(y.hi, 1, 2), jnp.swapaxes(y.lo, 1, 2), mu_hi, mu_lo
+            jnp.swapaxes(y.hi, 1, 2), jnp.swapaxes(y.lo, 1, 2), mu_hi, mu_lo,
+            interpret=interpret, **force_tiles,
         )
         return TwoFloat(ah, al)
 
     @jax.jit
     def run(carry: ELM2CarryF) -> ELM2CarryF:
         def body(c, _):
-            return elm2_step_f(tab, accel_pair, h, c), None
+            return elm2_step_f(tab, accel_pair, h, c, interpret=interpret), None
 
         c, _ = jax.lax.scan(body, carry, None, length=n_steps)
         return c._replace(dy=elm2_velocity_f(tab, c, h))

@@ -106,3 +106,37 @@ def test_sharded_fleet_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(res.pos), np.asarray(ref.pos), rtol=0, atol=1e-9
     )
+
+
+def test_fused_ensemble_scan_f_matches_plain():
+    """The pair-native fused ensemble scan (force grid + TwoFloat update
+    kernel, interpret mode on CPU) tracks the plain emulated-f64 scan."""
+    e, n = 2, 16
+    rng = np.random.default_rng(9)
+    pos = rng.normal(size=(e, n, 3)) * 1.0e6
+    vel = rng.normal(size=(e, n, 3)) * 1.0
+    mu = rng.uniform(1.0e3, 1.0e5, size=n)
+    from ephemeris_explorer_tpu.integrators import get
+
+    tab = get("QuinlanTremaine12")
+    h = 600.0
+    steps = 20
+
+    carry0 = sh.init_fused_ensemble_carry(tab, mu, 0.0, pos, vel, h)
+    run_old = sh.make_fused_ensemble_scan(tab, mu, h, steps)
+    run_f, to_f = sh.make_fused_ensemble_scan_f(
+        tab, mu, h, steps, interpret=True, tile_rows=8, tile_cols=8
+    )
+
+    old = run_old(carry0)
+    new = run_f(to_f(carry0))
+    y_old = np.asarray(old.ys[0])
+    y_new = (
+        np.asarray(new.ys.hi[0], np.float64) + np.asarray(new.ys.lo[0], np.float64)
+    )
+    scale = np.abs(y_old).max()
+    np.testing.assert_allclose(y_new, y_old, atol=scale * 2.0**-40, rtol=0)
+    np.testing.assert_allclose(
+        np.asarray(new.dy), np.asarray(old.dy),
+        atol=np.abs(np.asarray(old.dy)).max() * 1e-8, rtol=0,
+    )
