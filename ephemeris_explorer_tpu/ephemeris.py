@@ -677,6 +677,15 @@ def _chunk_fn(spec: "GenSpec", precision: str, n_scan: int, startup: bool, n_new
             and len(counts) * 3 >= 4096
             and jax.default_backend() in ("tpu", "axon")
         )
+        # NEGATIVE RESULT (measured): the monolithic small-N generation
+        # kernel (ops/pallas_gen.py - the whole chunk in one Pallas
+        # program) runs 50 us/step vs the XLA scan's 13 us/step at N=32:
+        # the per-step (1, N) <-> (N, 1) relayouts its pair tile needs
+        # cost more on Mosaic than the ~60-op dispatch overhead it
+        # removes, and (32, .) shapes leave the VPU mostly idle either
+        # way.  The kernel stays available and CI-tested for future
+        # tuning; the XLA scan remains the small-N production path.
+        gen_kernel = False
 
         def body(ms, _):
             if extended:
@@ -690,7 +699,16 @@ def _chunk_fn(spec: "GenSpec", precision: str, n_scan: int, startup: bool, n_new
                 y_now = ms.ys[0]
             return ms, y_now
 
-        if fused_f:
+        if gen_kernel and n_scan > 0:
+            from .ops.eft import TwoFloat
+            from .ops.pallas_gen import elm2_gen_scan
+            from .ops.pallas_nbody import split_f64
+
+            mu_hi, mu_lo = split_f64(mu.reshape(1, -1))
+            scan_ys, ms = elm2_gen_scan(
+                tab, h, carry.ms, TwoFloat(mu_hi, mu_lo), n_scan
+            )
+        elif fused_f:
             from .integrators.multistep import (
                 elm2_f_from,
                 elm2_f_to,

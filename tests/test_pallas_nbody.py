@@ -291,3 +291,53 @@ def test_fused_twofloat_state_matches_plain():
     v_p = np.asarray(multistep.elm2_velocity(tab, p, h))
     v_f = np.asarray(multistep.elm2_velocity_f(tab, f, h))
     np.testing.assert_allclose(v_f, v_p, atol=np.abs(v_p).max() * 1e-8, rtol=0)
+
+
+@pytest.mark.skipif(not HAVE_PALLAS, reason="pallas unavailable")
+def test_gen_scan_kernel_matches_plain():
+    """The monolithic generation kernel (n_steps of update+force+emission
+    in one Pallas program) holds the same dd-truth error envelope as the
+    plain scan, and its emissions equal its own committed states."""
+    from ephemeris_explorer_tpu.integrators import get, multistep
+    from ephemeris_explorer_tpu.ops import nbody
+    from ephemeris_explorer_tpu.ops.eft import TwoFloat
+    from ephemeris_explorer_tpu.ops.pallas_gen import elm2_gen_scan
+
+    n = 10  # non-power-of-two: exercises the ghost-body padding
+    rng = np.random.default_rng(13)
+    pos = rng.normal(size=(n, 3)) * 1.0e6
+    vel = rng.normal(size=(n, 3)) * 1.0
+    mu = rng.uniform(1.0e3, 1.0e5, size=n)
+    mu_j = jnp.asarray(mu)
+    mu_hi, mu_lo = split_f64(mu_j.reshape(1, -1))
+    h = 600.0
+    tab = get("QuinlanTremaine12")
+    accel = lambda t, y: nbody.pairwise_accel(y, mu_j)
+
+    c0 = multistep.elm2_init(tab, accel, 0.0, jnp.asarray(pos), jnp.asarray(vel), h)
+    cc = multistep.elm2_init_c(tab, accel, 0.0, jnp.asarray(pos), jnp.asarray(vel), h)
+
+    steps = 8
+    ys, c_new = elm2_gen_scan(
+        tab, h, c0, TwoFloat(mu_hi, mu_lo), steps, interpret=True
+    )
+    p = c0
+    for _ in range(steps):
+        p = multistep.elm2_step(tab, accel, h, p, with_velocity=False)
+        cc = multistep.elm2_step_c(tab, accel, h, cc)
+
+    truth = np.asarray(cc.ys.hi[0]) + np.asarray(cc.ys.lo[0])
+    err_plain = np.abs(np.asarray(p.ys[0]) - truth).max()
+    err_gen = np.abs(np.asarray(c_new.ys[0]) - truth).max()
+    floor = np.abs(truth).max() * 2.0**-42
+    assert err_gen <= max(5.0 * err_plain, floor), (err_gen, err_plain, floor)
+
+    # the emitted trajectory's last row IS the committed state
+    np.testing.assert_array_equal(np.asarray(ys[-1]), np.asarray(c_new.ys[0]))
+    # time advanced
+    assert abs(float(c_new.t) - (float(c0.t) + steps * h)) < 1e-9
+    # ring alignment: the force ring head equals f(ys[0]) to pair precision
+    f_ref = np.asarray(accel(0.0, jnp.asarray(c_new.ys[0])))
+    np.testing.assert_allclose(
+        np.asarray(c_new.ddys[0]), f_ref, rtol=1e-13, atol=np.abs(f_ref).max() * 1e-13
+    )
