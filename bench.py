@@ -336,12 +336,50 @@ def bench_ensemble() -> dict:
     }
 
 
+def bench_f32_fast() -> dict:
+    """BEYOND-baseline extra: the single-precision fast mode
+    (visualization-grade, ~1e-6 relative force error; see ACCURACY.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ephemeris_explorer_tpu.ops.pallas_nbody import pairwise_accel_f32
+
+    pos, vel, mu = _cluster(N_BODIES)
+    pos32 = jnp.asarray(pos, jnp.float64).astype(jnp.float32)
+    mu32 = jnp.asarray(mu, jnp.float64).astype(jnp.float32).reshape(1, -1)
+
+    @jax.jit
+    def scan(p):
+        def body(c, _):
+            a = pairwise_accel_f32(c, mu32)
+            return c + a * jnp.float32(1e-30), None
+
+        c, _ = jax.lax.scan(body, p, None, length=STEPS_PER_CHUNK)
+        return c
+
+    p = scan(pos32)
+    _force(p)
+    t0 = time.perf_counter()
+    for _ in range(CHUNKS):
+        p = scan(p)
+    _force(p)
+    elapsed = time.perf_counter() - t0
+    value = N_BODIES * STEPS_PER_CHUNK * CHUNKS / elapsed
+    return {
+        "metric": f"fast-mode f32 force evals/sec/chip x bodies (N={N_BODIES}, ~1e-6 rel)",
+        "value": round(value, 1),
+        "unit": "body-steps/s",
+        "vs_baseline": round(value / BASELINE, 3),
+    }
+
+
 ALL_BENCHES = {
     "n4096_df64": bench_headline,
     "n4096_parity": bench_parity,
     "fss_generation": bench_fss_generation,
     "fleet64": bench_fleet64,
     "ensemble16x4096": bench_ensemble,
+    "n4096_f32_fast": bench_f32_fast,
 }
 
 

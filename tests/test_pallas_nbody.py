@@ -341,3 +341,32 @@ def test_gen_scan_kernel_matches_plain():
     np.testing.assert_allclose(
         np.asarray(c_new.ddys[0]), f_ref, rtol=1e-13, atol=np.abs(f_ref).max() * 1e-13
     )
+
+
+@pytest.mark.skipif(not HAVE_PALLAS, reason="pallas unavailable")
+def test_f32_fast_mode_error_envelope():
+    """The f32 fast-mode kernel tracks the two-float kernel to ~1e-6
+    relative — visualization-grade, as documented."""
+    from ephemeris_explorer_tpu.ops.pallas_nbody import pairwise_accel_f32
+
+    n = 64
+    rng = np.random.default_rng(21)
+    pos = rng.normal(size=(n, 3)) * 1.0e6
+    mu = rng.uniform(1.0e3, 1.0e5, size=n)
+    mu_hi, mu_lo = split_f64(jnp.asarray(mu).reshape(1, n))
+
+    ref = np.asarray(
+        pairwise_accel(jnp.asarray(pos), mu_hi, mu_lo,
+                       interpret=True, tile_rows=8, tile_cols=8)
+    )
+    fast = np.asarray(
+        pairwise_accel_f32(
+            jnp.asarray(pos, jnp.float64).astype(jnp.float32),
+            jnp.asarray(mu, jnp.float64).astype(jnp.float32).reshape(1, n),
+            interpret=True, tile_rows=8, tile_cols=8,
+        )
+    )
+    scale = np.abs(ref).max()
+    rel = np.abs(fast - ref).max() / scale
+    assert rel < 1e-5, rel
+    assert rel > 1e-9  # sanity: it IS single precision, not silently df64
