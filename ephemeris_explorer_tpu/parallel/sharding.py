@@ -144,6 +144,61 @@ def make_sharded_ensemble_scan(mesh: Mesh, tab, mus, h, n_steps: int):
     return jax.jit(run, in_shardings=(sh,), out_shardings=sh)
 
 
+def make_shardmap_ensemble_scan_f(
+    mesh: Mesh, tab, mus, h, n_steps: int, interpret: bool = False, **force_tiles
+):
+    """Multi-chip × fused: ensemble members sharded over "data", each shard
+    running the PAIR-NATIVE fused scan (Pallas force grid + TwoFloat update
+    kernel) on its local members.
+
+    Pallas custom calls cannot be partitioned by GSPMD, so the composition
+    is explicit SPMD: `jax.shard_map` splits the ensemble axis and every
+    shard launches its own kernels — zero collectives in the loop (members
+    are independent), which is exactly the data-parallel serving shape.
+    Returns (run, to_f); feed `to_f(init_fused_ensemble_carry(...))` — the
+    fused layout keeps the ensemble axis inside the rings (ys/dd as
+    (ORDER, E, N, 3) pairs), sharded on E.
+    """
+    from ..integrators.multistep import ELM2CarryF, elm2_f_from, elm2_step_f, elm2_velocity_f
+    from ..ops.eft import TwoFloat
+    from ..ops.pallas_nbody import pairwise_accel_df64_ensemble, split_f64
+
+    mu_dev = jnp.asarray(mus)
+    mu_hi, mu_lo = split_f64(mu_dev.reshape(1, -1))
+
+    def accel_pair(t, y):  # y: TwoFloat (E_local, N, 3)
+        ah, al = pairwise_accel_df64_ensemble(
+            jnp.swapaxes(y.hi, 1, 2), jnp.swapaxes(y.lo, 1, 2), mu_hi, mu_lo,
+            interpret=interpret, **force_tiles,
+        )
+        return TwoFloat(ah, al)
+
+    def local_scan(carry: ELM2CarryF) -> ELM2CarryF:
+        def body(c, _):
+            return elm2_step_f(tab, accel_pair, h, c, interpret=interpret), None
+
+        c, _ = jax.lax.scan(body, carry, None, length=n_steps)
+        return c._replace(dy=elm2_velocity_f(tab, c, h))
+
+    # the fused carry keeps the ensemble axis INSIDE (ORDER, E, N, 3);
+    # shard the E axis (index 1 on ys/dd rings, 0 on dy, t replicated)
+    spec = ELM2CarryF(
+        t=P(),
+        ys=TwoFloat(P(None, "data"), P(None, "data")),
+        dd=TwoFloat(P(None, "data"), P(None, "data")),
+        dy=P("data"),
+    )
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+    # annotation; the manual specs above are the full contract here
+    run = jax.jit(
+        jax.shard_map(
+            local_scan, mesh=mesh, in_specs=(spec,), out_specs=spec,
+            check_vma=False,
+        )
+    )
+    return run, jax.jit(elm2_f_from)
+
+
 def init_ensemble_carry(mesh: Mesh, tab, mus, t0, pos, vel, h) -> ELM2Carry:
     """Startup for an (E, N, 3) ensemble; runs the starter vmapped."""
     accel = _ensemble_accel(mus)

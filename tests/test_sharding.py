@@ -140,3 +140,40 @@ def test_fused_ensemble_scan_f_matches_plain():
         np.asarray(new.dy), np.asarray(old.dy),
         atol=np.abs(np.asarray(old.dy)).max() * 1e-8, rtol=0,
     )
+
+
+def test_shardmap_fused_ensemble_matches_unsharded():
+    """The shard_map x fused composition (members sharded on "data", each
+    shard running the pair-native Pallas scan) equals the unsharded fused
+    scan bitwise-at-f64 on the virtual mesh."""
+    e, n = 4, 16
+    rng = np.random.default_rng(17)
+    pos = rng.normal(size=(e, n, 3)) * 1.0e6
+    vel = rng.normal(size=(e, n, 3)) * 1.0
+    mu = rng.uniform(1.0e3, 1.0e5, size=n)
+    from ephemeris_explorer_tpu.integrators import get
+
+    tab = get("QuinlanTremaine12")
+    h = 600.0
+    steps = 10
+
+    carry0 = sh.init_fused_ensemble_carry(tab, mu, 0.0, pos, vel, h)
+
+    mesh = sh.make_mesh(data=4, model=2)
+    run_s, to_f = sh.make_shardmap_ensemble_scan_f(
+        mesh, tab, mu, h, steps, interpret=True, tile_rows=8, tile_cols=8
+    )
+    out_s = run_s(to_f(carry0))
+
+    run_u, to_f_u = sh.make_fused_ensemble_scan_f(
+        tab, mu, h, steps, interpret=True, tile_rows=8, tile_cols=8
+    )
+    out_u = run_u(to_f_u(carry0))
+
+    comb = lambda p: (
+        np.asarray(p.hi, np.float64) + np.asarray(p.lo, np.float64)
+    )
+    np.testing.assert_array_equal(comb(out_s.ys)[0], comb(out_u.ys)[0])
+    np.testing.assert_allclose(
+        np.asarray(out_s.dy), np.asarray(out_u.dy), rtol=1e-14, atol=1e-18
+    )
