@@ -434,3 +434,71 @@ def test_edit_burn_surface(uni):
     end = Epoch.from_offset_seconds(traj1.start_s + 0.5 * (traj1.end_s - traj1.start_s))
     uni.set_plan_end(ship.name, end)
     assert uni.ships[ship.name].plan.end == end
+
+
+def test_universe_lifecycle_fuzz(uni):
+    """Randomized burn-editing / extension / query sequence holds the
+    container invariants after every operation (sorted event times within
+    bounds, strictly increasing knots, finite states)."""
+    rng = np.random.default_rng(42)
+    ship = uni.scene.ships[0]
+    entry = uni.spawn_ship(ship)
+    name = ship.name
+
+    def span():
+        tr = uni.ships[name].trajectory
+        return tr.start_s, tr.end_s
+
+    def check():
+        tr = uni.ships[name].trajectory
+        ts = np.asarray(tr.ts)
+        assert np.all(np.diff(ts) > 0), "knots not strictly increasing"
+        assert np.isfinite(np.asarray(tr.pos)).all()
+        assert np.isfinite(np.asarray(tr.vel)).all()
+        ev = [t for t, *_ in uni.ships[name].transitions]
+        assert ev == sorted(ev)
+        for t in ev:
+            assert tr.start_s - 1.0 <= t <= tr.end_s + 1.0
+        ap = [a.time for a in uni.ships[name].apsides]
+        assert ap == sorted(ap)
+
+    burn_ids = []
+    for i in range(10):
+        op = rng.integers(0, 5)
+        s0, s1 = span()
+        if op == 0 or not burn_ids:  # add
+            t = s0 + (0.2 + 0.6 * rng.random()) * (s1 - s0)
+            bid = uni.add_burn(
+                name,
+                Burn(
+                    start=Epoch.from_offset_seconds(float(t)),
+                    duration=Duration.from_seconds(float(30 + 60 * rng.random())),
+                    acceleration=rng.normal(size=3) * 1e-4,
+                    reference="Earth" if rng.random() < 0.5 else None,
+                ),
+            )
+            burn_ids.append(bid)
+        elif op == 1:  # shift a burn
+            bid = burn_ids[rng.integers(0, len(burn_ids))]
+            b = uni.ships[name].plan.burns.get(bid)
+            if b is not None:
+                uni.edit_burn(
+                    name, bid,
+                    start=b.start + Duration.from_seconds(float(rng.normal() * 600)),
+                )
+        elif op == 2:  # toggle
+            bid = burn_ids[rng.integers(0, len(burn_ids))]
+            b = uni.ships[name].plan.burns.get(bid)
+            if b is not None:
+                uni.edit_burn(name, bid, enabled=not b.enabled)
+        elif op == 3:  # remove
+            bid = burn_ids.pop(rng.integers(0, len(burn_ids)))
+            uni.remove_burn(name, bid)
+        else:  # queries at random epochs
+            t = s0 + rng.random() * (s1 - s0)
+            got = uni.ships[name].trajectory.get(float(t))
+            if got is not None:
+                assert np.isfinite(np.asarray(got[0])).all()
+            uni.positions(Epoch.from_offset_seconds(float(t)))
+            uni.ship_segments(name)
+        check()
