@@ -69,10 +69,11 @@ def bench_headline() -> dict:
     # Pallas two-float pair kernel + fused pair-state update (the whole
     # step stays in (hi, lo) f32 pairs - no emulated-f64 round trips);
     # fall back to the jnp kernel + plain carry if the platform can't
-    # lower Pallas.
+    # lower Pallas.  The warm-up call is INSIDE the guard so the fused
+    # kernels' first lowering is covered, not just the probe.
     from ephemeris_explorer_tpu.integrators.multistep import elm2_velocity
 
-    try:
+    def _fused_path():
         from ephemeris_explorer_tpu.integrators.multistep import (
             elm2_f_from,
             elm2_step_f,
@@ -94,9 +95,6 @@ def bench_headline() -> dict:
             ah, al = pairwise_accel_df64(y.hi.T, y.lo.T, mu_hi, mu_lo)
             return TwoFloat(ah, al)
 
-        _probe = np.asarray(accel(0.0, jnp.asarray(pos)))
-        assert np.isfinite(_probe).all()
-
         @jax.jit
         def chunk(carry):
             def body(c, _):
@@ -108,8 +106,11 @@ def bench_headline() -> dict:
         init = jax.jit(
             lambda p, v: elm2_f_from(elm2_init(tab, accel, 0.0, p, v, h))
         )
-    except Exception:
+        carry = chunk(init(jnp.asarray(pos), jnp.asarray(vel)))
+        assert np.isfinite(_force(carry.ys))
+        return chunk, carry
 
+    def _plain_path():
         def accel(t, y):
             return nbody.pairwise_accel(y, mu_dev)
 
@@ -122,9 +123,14 @@ def bench_headline() -> dict:
             return c._replace(dy=elm2_velocity(tab, c, h))
 
         init = jax.jit(lambda p, v: elm2_init(tab, accel, 0.0, p, v, h))
-    carry = init(jnp.asarray(pos), jnp.asarray(vel))
-    carry = chunk(carry)
-    _force(carry.ys)
+        carry = chunk(init(jnp.asarray(pos), jnp.asarray(vel)))
+        _force(carry.ys)
+        return chunk, carry
+
+    try:
+        chunk, carry = _fused_path()
+    except Exception:
+        chunk, carry = _plain_path()
 
     t0 = time.perf_counter()
     for _ in range(CHUNKS):

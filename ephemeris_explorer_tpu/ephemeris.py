@@ -674,6 +674,7 @@ def _chunk_fn(spec: "GenSpec", precision: str, n_scan: int, startup: bool, n_new
         fused_f = (
             not extended
             and lazy_vel
+            and n_scan > 0
             and len(counts) * 3 >= 4096
             and jax.default_backend() in ("tpu", "axon")
         )

@@ -147,6 +147,9 @@ def elm2_step(
         shape = (-1,) + (1,) * (stack.ndim - 1)
         return jnp.sum(coeffs.reshape(shape) * stack, axis=0)
 
+    assert with_velocity or not getattr(accel, "needs_velocity", False), (
+        "with_velocity=False requires a velocity-independent force"
+    )
     sum1 = wsum(c_y, carry.ys)
     sum2 = wsum(c_dy, carry.ddys)
     y_new = sum1 + sum2 * (h * h / tab.beta_d)
@@ -528,9 +531,9 @@ class ELM2CarryQF(NamedTuple):
 
 def elm2_qf_from_q(carry: ELM2CarryQ) -> ELM2CarryQF:
     """Exact conversion: split the f64 acceleration ring into f32 pairs."""
-    hi = carry.ddys.astype(jnp.float32)
-    lo = (carry.ddys - hi.astype(carry.ddys.dtype)).astype(jnp.float32)
-    return ELM2CarryQF(t=carry.t, ys=carry.ys, dd=TwoFloat(hi, lo), dy=carry.dy)
+    return ELM2CarryQF(
+        t=carry.t, ys=carry.ys, dd=_split_pair(carry.ddys), dy=carry.dy
+    )
 
 
 def elm2_qf_to_q(carry: ELM2CarryQF) -> ELM2CarryQ:

@@ -113,8 +113,7 @@ def _update_kernel(
         cf = jnp.float32(c)
         term = tuple(r[j, :][None, :] * cf for r in refs)
         sum1 = term if sum1 is None else ex.add(sum1, term)
-    zero = jnp.zeros_like(inc.hi)
-    y_new = ex.add(sum1, (inc.hi, inc.lo, zero, zero))
+    y_new = ex.add(sum1, ex.from_two(inc.hi, inc.lo))
 
     o0_ref[:, :] = y_new[0]
     o1_ref[:, :] = y_new[1]

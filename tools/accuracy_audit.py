@@ -124,6 +124,12 @@ def _chunk_runner(
         elif mode == "fused":
             # the PRODUCTION parity engine as benchmarked: expansion state,
             # pair-native 3-limb force, fused Pallas update kernel
+            if pert_specs:
+                raise ValueError(
+                    "mode 'fused' integrates a velocity-independent pair "
+                    "force only; perturbations (--pn/--j2) require the "
+                    "'expansion' modes"
+                )
             from ephemeris_explorer_tpu.ops import pallas_nbody as pk
 
             n = mu.shape[0]
