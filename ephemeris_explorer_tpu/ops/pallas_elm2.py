@@ -62,8 +62,8 @@ def _split_const(x: float) -> tuple[float, float]:
     return float(hi), float(lo)
 
 
-def _coef_reader(coef_ref, m: int, splat: bool):
-    """Read the split coefficient row j as a (1, M) TwoFloat.
+def _coef_reader(coef_ref, sub: int, mt: int, splat: bool):
+    """Read the split coefficient row j as a (SUB, MT/SUB) TwoFloat.
 
     splat=True (device/Mosaic): coef_ref is a small (order+1, 2) SMEM
     array; scalars are splat in-kernel - Mosaic performs no unsafe
@@ -72,32 +72,48 @@ def _coef_reader(coef_ref, m: int, splat: bool):
     pure-scalar f32 chains (see module docstring) and an in-kernel splat
     can be sunk back to scalars.
     """
+    shape = (sub, mt // sub)
     if splat:
         return lambda j: TwoFloat(
-            jnp.full((1, m), coef_ref[j, 0]), jnp.full((1, m), coef_ref[j, 1])
+            jnp.full(shape, coef_ref[j, 0]), jnp.full(shape, coef_ref[j, 1])
         )
-    return lambda j: TwoFloat(coef_ref[j, 0, :][None, :], coef_ref[j, 1, :][None, :])
+    return lambda j: TwoFloat(
+        coef_ref[j, 0, :].reshape(shape), coef_ref[j, 1, :].reshape(shape)
+    )
+
+
+def _row(ref, j: int, sub: int):
+    """Ring entry j as a (SUB, MT/SUB) tile.
+
+    The update math is elementwise over lanes, so each logical (1, MT)
+    row is viewed as SUB sublane rows - a (1, M) layout uses 1 of the
+    VPU's 8 sublanes and was measured 6x slower at ensemble M.
+    """
+    if sub == 1:
+        return ref[j, :][None, :]
+    return ref[pl.ds(j * sub, sub), :]
 
 
 def _update_kernel(
     coef_ref,
     ys0_ref, ys1_ref, ys2_ref, ys3_ref, ddh_ref, ddl_ref,
     o0_ref, o1_ref, o2_ref, o3_ref,
-    *, order: int, c_y: tuple, dy_nonzero: tuple, m: int, splat: bool,
+    *, order: int, c_y: tuple, dy_nonzero: tuple, mt: int, sub: int, splat: bool,
 ):
     """One block of the position update.
 
     coef_ref: split c_dy rows + the h^2/beta_d factor (see _coef_reader).
-    Other refs: limb/pair rings (ORDER, M) f32; outputs (1, M) f32.
+    Other refs: limb/pair rings (ORDER*SUB, MT/SUB) f32; outputs
+    (SUB, MT/SUB) f32.
     """
-    coef = _coef_reader(coef_ref, m, splat)
+    coef = _coef_reader(coef_ref, sub, mt, splat)
     # weighted acceleration sum in TwoFloat arithmetic.  The c_dy
     # coefficients alternate in sign with ~6x cancellation, so partial
     # sums pass near zero: the accurate add is REQUIRED (add_sloppy's
     # quick_two_sum precondition |s| >= |e| fails under cancellation).
     acc = None
     for j in dy_nonzero:
-        dd = TwoFloat(ddh_ref[j, :][None, :], ddl_ref[j, :][None, :])
+        dd = TwoFloat(_row(ddh_ref, j, sub), _row(ddl_ref, j, sub))
         term = eft.mul(dd, coef(j))
         acc = term if acc is None else eft.add(acc, term)
     inc = eft.mul(acc, coef(order))
@@ -111,7 +127,7 @@ def _update_kernel(
         if c == 0.0:
             continue
         cf = jnp.float32(c)
-        term = tuple(r[j, :][None, :] * cf for r in refs)
+        term = tuple(_row(r, j, sub) * cf for r in refs)
         sum1 = term if sum1 is None else ex.add(sum1, term)
     y_new = ex.add(sum1, ex.from_two(inc.hi, inc.lo))
 
@@ -121,13 +137,22 @@ def _update_kernel(
     o3_ref[:, :] = y_new[3]
 
 
-def _lane_block(m: int, n_rings: int, order: int) -> int:
-    """Largest divisor of m keeping one block's ring traffic under ~8 MB."""
+def _lane_block(m: int, n_rings: int, order: int, max_lanes: int | None = None) -> int:
+    """Largest divisor of m keeping one block's ring traffic under ~8 MB
+    (and under `max_lanes` lanes when given)."""
     budget = (8 << 20) // (n_rings * order * 4)
+    if max_lanes is not None:
+        budget = min(budget, max_lanes)
     mt = m
     while mt > budget and mt % 2 == 0:
         mt //= 2
     return mt
+
+
+def _pack(x, sub: int):
+    """(O, M) ring -> (O*SUB, M/SUB): each row becomes SUB sublane rows."""
+    o, m = x.shape
+    return x.reshape(o * sub, m // sub)
 
 
 @partial(jax.jit, static_argnames=("order", "c_y", "dy_nonzero", "interpret"))
@@ -136,29 +161,42 @@ def _elm2q_update_flat(
 ):
     o, m = ys[0].shape
     # lane-blocked grid: at ORDER=12, N=4096 one block holds the whole
-    # problem (~3.5 MB); larger batches (ensembles) split along lanes
+    # problem (~3.5 MB); larger batches (ensembles) split along lanes.
+    # SUB=8 would pack each logical row onto all 8 VPU sublanes and makes
+    # the kernel ITSELF 2.1x faster at ensemble M (measured) - but the
+    # (O, M) -> (O*8, M/8) reshape at the call boundary retiles the whole
+    # ring in HBM every step and costs MORE than the kernel saves (full
+    # parity/ensemble steps measured slower).  Packing pays only once the
+    # carry is STORED packed across steps (round-3 item, docs/ROADMAP.md);
+    # until then the unpacked layout stays.
+    sub = 1
     mt = _lane_block(m, 6, o)
     kernel = partial(
         _update_kernel, order=order, c_y=c_y, dy_nonzero=dy_nonzero,
-        m=mt, splat=not interpret,
+        mt=mt, sub=sub, splat=not interpret,
     )
     coef_spec = (
         pl.BlockSpec((o + 1, 2, mt), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
         if interpret
         else pl.BlockSpec(memory_space=pltpu.SMEM)
     )
-    ring = pl.BlockSpec((o, mt), lambda i: (0, i), memory_space=pltpu.VMEM)
-    out = pl.BlockSpec((1, mt), lambda i: (0, i), memory_space=pltpu.VMEM)
+    ring = pl.BlockSpec((o * sub, mt // sub), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out = pl.BlockSpec((sub, mt // sub), lambda i: (0, i), memory_space=pltpu.VMEM)
     with jax.enable_x64(False):
         outs = pl.pallas_call(
             kernel,
             grid=(m // mt,),
             in_specs=[coef_spec] + [ring] * 6,
             out_specs=[out] * 4,
-            out_shape=[jax.ShapeDtypeStruct((1, m), jnp.float32)] * 4,
+            out_shape=[jax.ShapeDtypeStruct((sub, m // sub), jnp.float32)] * 4,
             interpret=interpret,
-        )(coef, ys[0], ys[1], ys[2], ys[3], ddh, ddl)
-    return tuple(outs)
+        )(
+            coef,
+            _pack(ys[0], sub), _pack(ys[1], sub),
+            _pack(ys[2], sub), _pack(ys[3], sub),
+            _pack(ddh, sub), _pack(ddl, sub),
+        )
+    return tuple(x.reshape(1, m) for x in outs)
 
 
 def elm2_update_coeffs(tab, h: float) -> np.ndarray:
@@ -221,12 +259,12 @@ def _update_kernel2(
     coef_ref,
     ysh_ref, ysl_ref, ddh_ref, ddl_ref,
     oh_ref, ol_ref,
-    *, order: int, c_y: tuple, dy_nonzero: tuple, m: int, splat: bool,
+    *, order: int, c_y: tuple, dy_nonzero: tuple, mt: int, sub: int, splat: bool,
 ):
-    coef = _coef_reader(coef_ref, m, splat)
+    coef = _coef_reader(coef_ref, sub, mt, splat)
     acc = None
     for j in dy_nonzero:
-        dd = TwoFloat(ddh_ref[j, :][None, :], ddl_ref[j, :][None, :])
+        dd = TwoFloat(_row(ddh_ref, j, sub), _row(ddl_ref, j, sub))
         term = eft.mul(dd, coef(j))
         acc = term if acc is None else eft.add(acc, term)
     inc = eft.mul(acc, coef(order))
@@ -239,47 +277,55 @@ def _update_kernel2(
         if c == 0.0:
             continue
         cf = jnp.float32(c)
-        term = TwoFloat(ysh_ref[j, :][None, :] * cf, ysl_ref[j, :][None, :] * cf)
+        term = TwoFloat(_row(ysh_ref, j, sub) * cf, _row(ysl_ref, j, sub) * cf)
         sum1 = term if sum1 is None else eft.add(sum1, term)
     y = eft.add(sum1, inc)
     oh_ref[:, :] = y.hi
     ol_ref[:, :] = y.lo
 
 
-@partial(jax.jit, static_argnames=("order", "c_y", "dy_nonzero", "interpret"))
+@partial(
+    jax.jit, static_argnames=("order", "c_y", "dy_nonzero", "interpret", "max_lanes")
+)
 def _elm2f_update_flat(
-    coef, ysh, ysl, ddh, ddl, *, order, c_y, dy_nonzero, interpret=False
+    coef, ysh, ysl, ddh, ddl, *, order, c_y, dy_nonzero, interpret=False,
+    max_lanes=None,
 ):
     o, m = ysh.shape
-    mt = _lane_block(m, 4, o)
+    sub = 1  # see _elm2q_update_flat: packed rows need a packed carry
+    mt = _lane_block(m, 4, o, max_lanes)
     kernel = partial(
         _update_kernel2, order=order, c_y=c_y, dy_nonzero=dy_nonzero,
-        m=mt, splat=not interpret,
+        mt=mt, sub=sub, splat=not interpret,
     )
     coef_spec = (
         pl.BlockSpec((o + 1, 2, mt), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
         if interpret
         else pl.BlockSpec(memory_space=pltpu.SMEM)
     )
-    ring = pl.BlockSpec((o, mt), lambda i: (0, i), memory_space=pltpu.VMEM)
-    out = pl.BlockSpec((1, mt), lambda i: (0, i), memory_space=pltpu.VMEM)
+    ring = pl.BlockSpec((o * sub, mt // sub), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out = pl.BlockSpec((sub, mt // sub), lambda i: (0, i), memory_space=pltpu.VMEM)
     with jax.enable_x64(False):
         outs = pl.pallas_call(
             kernel,
             grid=(m // mt,),
             in_specs=[coef_spec] + [ring] * 4,
             out_specs=[out] * 2,
-            out_shape=[jax.ShapeDtypeStruct((1, m), jnp.float32)] * 2,
+            out_shape=[jax.ShapeDtypeStruct((sub, m // sub), jnp.float32)] * 2,
             interpret=interpret,
-        )(coef, ysh, ysl, ddh, ddl)
-    return outs
+        )(coef, _pack(ysh, sub), _pack(ysl, sub), _pack(ddh, sub), _pack(ddl, sub))
+    return tuple(x.reshape(1, m) for x in outs)
 
 
-def elm2f_update(tab, h: float, ys: TwoFloat, dd: TwoFloat, interpret: bool = False):
+def elm2f_update(
+    tab, h: float, ys: TwoFloat, dd: TwoFloat, interpret: bool = False,
+    max_lanes: int | None = None,
+):
     """y_{n+1} pair from TwoFloat position/acceleration rings.
 
     ys/dd: TwoFloat of (ORDER, ..., 3) f32, newest first, aligned.
-    Returns a TwoFloat of shape (..., 3).
+    Returns a TwoFloat of shape (..., 3).  ``max_lanes`` caps the lane
+    block (tuning knob: very wide rows spill vector registers).
     """
     shape = ys.hi.shape
     o = shape[0]
@@ -297,5 +343,6 @@ def elm2f_update(tab, h: float, ys: TwoFloat, dd: TwoFloat, interpret: bool = Fa
         c_y=tuple(float(c) for c in tab.c_y),
         dy_nonzero=dy_nonzero,
         interpret=interpret,
+        max_lanes=max_lanes,
     )
     return TwoFloat(oh.reshape(shape[1:]), ol.reshape(shape[1:]))

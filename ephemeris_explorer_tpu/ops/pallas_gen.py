@@ -92,7 +92,7 @@ def _gen_kernel(
     *, order: int, c_y: tuple, dy_nonzero: tuple,
     n: int, m: int, n_steps: int, splat: bool,
 ):
-    coef = _coef_reader(coef_ref, m, splat)
+    coef = _coef_reader(coef_ref, 1, m, splat)
     mu = TwoFloat(mu_hi_ref[:, :], mu_lo_ref[:, :])
 
     def step(k, rings):
