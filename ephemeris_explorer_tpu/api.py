@@ -315,6 +315,11 @@ class ShipEntry:
     last_params: AdaptiveParams | None = None
     transitions: events.SoiTransitions = field(default_factory=events.SoiTransitions)
     apsides: events.Apsides = field(default_factory=events.Apsides)
+    # final termination reason of the last replan (spacecraft.DONE_* code);
+    # DONE_ERROR means the committed trajectory is TRUNCATED before the
+    # plan's end epoch (the reference's "end here, flush what we have",
+    # prediction.rs:429-432) — surfaced so callers/UI can tell
+    last_reason: int = 0
 
 
 logger = logging.getLogger("ephemeris_explorer_tpu")
@@ -586,6 +591,7 @@ class Universe:
         entry.last_timeline = timeline
         entry.last_method = plan.method
         entry.last_params = plan.params
+        entry.last_reason = int(reason)
 
         if full_restart or len(entry.transitions) == 0:
             entry.transitions = events.SoiTransitions(

@@ -82,7 +82,9 @@ class SoiTransitions:
     def _search(self, time: float) -> tuple[bool, int]:
         import bisect
 
-        i = bisect.bisect_left([t for t, _ in self.entries], time)
+        # key= avoids rebuilding the full time list per call (insert/extend
+        # over long missions would otherwise be O(n^2))
+        i = bisect.bisect_left(self.entries, time, key=lambda e: e[0])
         found = i < len(self.entries) and self.entries[i][0] == time
         return found, i
 
@@ -145,7 +147,7 @@ class Apsides:
     def _search(self, time: float) -> tuple[bool, int]:
         import bisect
 
-        i = bisect.bisect_left([a.time for a in self.entries], time)
+        i = bisect.bisect_left(self.entries, time, key=lambda a: a.time)
         found = i < len(self.entries) and self.entries[i].time == time
         return found, i
 

@@ -147,10 +147,19 @@ def advance(
         h = jnp.minimum(lp.next_h, bound - state.t)
         y_new, err_vec, cache_new = _attempt(tab, f, state.t, state.y, h, state.cache)
         err = err_norm(y_new, err_vec)
-        # a non-finite error means the RHS itself failed (e.g. a degenerate
-        # TNB burn frame); abort immediately like EvalFailed rather than
-        # burning n_max rejected attempts
-        failed = ~jnp.isfinite(err)
+        # EvalFailed semantics match the reference (StepError::EvalFailed,
+        # integration/src/lib.rs:312-330): abort only when the RHS/state
+        # itself is non-finite (e.g. a degenerate TNB burn frame).  An
+        # overflowed-but-finite attempt (err == inf with finite y_new)
+        # falls through to the fac_min-clamped retry below — m becomes 0,
+        # clip() restores fac_min, and the step is retried smaller.  A NaN
+        # err would poison next_h, so it also aborts.
+        y_finite = jax.tree_util.tree_reduce(
+            lambda a, leaf: a & jnp.all(jnp.isfinite(leaf)),
+            y_new,
+            jnp.asarray(True),
+        )
+        failed = (~y_finite) | jnp.isnan(err)
         m = params.fac * err ** (-1.0 / k_order)
         nh = h * jnp.clip(m, params.fac_min, params.fac_max)
         nh = jnp.minimum(nh, params.h_max)

@@ -530,7 +530,12 @@ class ELM2CarryQF(NamedTuple):
 
 
 def elm2_qf_from_q(carry: ELM2CarryQ) -> ELM2CarryQF:
-    """Exact conversion: split the f64 acceleration ring into f32 pairs."""
+    """Split the f64 acceleration ring into f32 pairs.
+
+    Exact on emulated-f64 backends (TPU), where the f64 values ARE two-f32
+    pairs; on native-f64 backends (CPU) the low word rounds at ~2^-48 —
+    the module's working precision, so precision-neutral either way.
+    """
     return ELM2CarryQF(
         t=carry.t, ys=carry.ys, dd=_split_pair(carry.ddys), dy=carry.dy
     )
@@ -645,3 +650,151 @@ def elm2_step_f(
 
 def elm2_velocity_f(tab: ELMTableau, carry: ELM2CarryF, h) -> jax.Array:
     return elm2_velocity(tab, elm2_f_to(carry), h)
+
+
+# ---------------------------------------------------------------------------
+# Sublane-packed fused carries: rings stored (ORDER, SUB, M/SUB) across steps
+# ---------------------------------------------------------------------------
+#
+# The fused update kernels process each ring row as (1, M) — one of the
+# VPU's 8 sublanes.  The packed variants below store the rings with every
+# logical row split over SUB sublane rows, which makes the update kernel
+# 2.1x faster (measured round 2) WITHOUT the per-step HBM retiling that
+# made pack-at-the-boundary a net loss: the ring shift is a concatenate in
+# packed layout, and only y_new / f_new (one row each, not ORDER of them)
+# cross the packed<->logical boundary per step at the force interface.
+
+_PACK_SUB = 8  # all 8 VPU sublanes
+
+
+def _pack_ring(x, sub: int):
+    """(ORDER, ...) ring -> (ORDER, SUB, M/SUB)."""
+    o = x.shape[0]
+    return x.reshape(o, sub, -1)
+
+
+class ELM2CarryFP(NamedTuple):
+    t: jax.Array
+    ys: TwoFloat       # (ORDER, SUB, M/SUB) f32 pair ring, newest first
+    dd: TwoFloat       # (ORDER, SUB, M/SUB) f32 pair ring
+    dy: jax.Array      # base-precision velocity (stale during scans)
+
+
+def elm2_fp_from(carry: ELM2CarryF, sub: int = _PACK_SUB) -> ELM2CarryFP:
+    """Pack an ELM2CarryF's rings (pure reshape; exact)."""
+    return ELM2CarryFP(
+        t=carry.t,
+        ys=TwoFloat(_pack_ring(carry.ys.hi, sub), _pack_ring(carry.ys.lo, sub)),
+        dd=TwoFloat(_pack_ring(carry.dd.hi, sub), _pack_ring(carry.dd.lo, sub)),
+        dy=carry.dy,
+    )
+
+
+def elm2_fp_to(carry: ELM2CarryFP, shape: tuple) -> ELM2CarryF:
+    """Unpack back to the logical row shape (e.g. (N, 3) or (E, N, 3))."""
+    o = carry.ys.hi.shape[0]
+    unp = lambda x: x.reshape((o,) + tuple(shape))  # noqa: E731
+    return ELM2CarryF(
+        t=carry.t,
+        ys=TwoFloat(unp(carry.ys.hi), unp(carry.ys.lo)),
+        dd=TwoFloat(unp(carry.dd.hi), unp(carry.dd.lo)),
+        dy=carry.dy,
+    )
+
+
+def elm2_step_fp(
+    tab: ELMTableau, accel_pair, h, carry: ELM2CarryFP, shape: tuple,
+    interpret: bool = False,
+) -> ELM2CarryFP:
+    """One fused two-float multistep step on the PACKED carry.
+
+    ``shape`` is the logical row shape the force expects (static).
+    ``accel_pair(t, y: TwoFloat(shape)) -> TwoFloat(shape)`` as in
+    :func:`elm2_step_f`.  Bitwise-identical to elm2_step_f on the unpacked
+    view.  Velocity is deferred (:func:`elm2_velocity_fp`).
+    """
+    from ..ops.pallas_elm2 import elm2f_update_packed
+
+    y_new = elm2f_update_packed(tab, h, carry.ys, carry.dd, interpret=interpret)
+    t_new = carry.t + h
+    # packed <-> logical boundary: ONE row each way per step
+    y_rows = TwoFloat(
+        y_new.hi.reshape(shape), y_new.lo.reshape(shape)
+    )
+    f_rows = accel_pair(t_new, y_rows)
+    psh = y_new.hi.shape
+    f_new = TwoFloat(f_rows.hi.reshape(psh), f_rows.lo.reshape(psh))
+
+    shift = lambda new, ring: jnp.concatenate([new[None], ring[: tab.order - 1]])  # noqa: E731
+    return ELM2CarryFP(
+        t=t_new,
+        ys=TwoFloat(shift(y_new.hi, carry.ys.hi), shift(y_new.lo, carry.ys.lo)),
+        dd=TwoFloat(shift(f_new.hi, carry.dd.hi), shift(f_new.lo, carry.dd.lo)),
+        dy=carry.dy,
+    )
+
+
+def elm2_velocity_fp(tab: ELMTableau, carry: ELM2CarryFP, h, shape: tuple) -> jax.Array:
+    return elm2_velocity_f(tab, elm2_fp_to(carry, shape), h)
+
+
+class ELM2CarryQFP(NamedTuple):
+    t: jax.Array
+    ys: tuple          # 4-tuple of (ORDER, SUB, M/SUB) f32 limb rings
+    dd: TwoFloat       # (ORDER, SUB, M/SUB) f32 pair ring
+    dy: jax.Array      # base-precision velocity (stale during scans)
+
+
+def elm2_qfp_from(carry: ELM2CarryQF, sub: int = _PACK_SUB) -> ELM2CarryQFP:
+    """Pack an ELM2CarryQF's rings (pure reshape; exact)."""
+    return ELM2CarryQFP(
+        t=carry.t,
+        ys=tuple(_pack_ring(l, sub) for l in carry.ys),
+        dd=TwoFloat(_pack_ring(carry.dd.hi, sub), _pack_ring(carry.dd.lo, sub)),
+        dy=carry.dy,
+    )
+
+
+def elm2_qfp_to(carry: ELM2CarryQFP, shape: tuple) -> ELM2CarryQF:
+    o = carry.ys[0].shape[0]
+    unp = lambda x: x.reshape((o,) + tuple(shape))  # noqa: E731
+    return ELM2CarryQF(
+        t=carry.t,
+        ys=tuple(unp(l) for l in carry.ys),
+        dd=TwoFloat(unp(carry.dd.hi), unp(carry.dd.lo)),
+        dy=carry.dy,
+    )
+
+
+def elm2_step_qfp(
+    tab: ELMTableau, accel_pair, h, carry: ELM2CarryQFP, shape: tuple,
+    interpret: bool = False,
+) -> ELM2CarryQFP:
+    """One fused expansion-state multistep step on the PACKED carry.
+
+    ``accel_pair(t, (l0, l1, l2)) -> (hi, lo)`` with limbs of logical
+    ``shape`` (the 3-limb Pallas force).  Bitwise-identical to
+    :func:`elm2_step_qf` on the unpacked view.
+    """
+    from ..ops.pallas_elm2 import elm2q_update_packed
+
+    y_new = elm2q_update_packed(tab, h, carry.ys, carry.dd, interpret=interpret)
+    t_new = carry.t + h
+    limbs = tuple(l.reshape(shape) for l in y_new[:3])
+    fh, fl = accel_pair(t_new, limbs)
+    psh = y_new[0].shape
+    fh, fl = fh.reshape(psh), fl.reshape(psh)
+
+    shift = lambda new, ring: jnp.concatenate([new[None], ring[: tab.order - 1]])  # noqa: E731
+    return ELM2CarryQFP(
+        t=t_new,
+        ys=tuple(shift(nl, ol) for nl, ol in zip(y_new, carry.ys)),
+        dd=TwoFloat(shift(fh, carry.dd.hi), shift(fl, carry.dd.lo)),
+        dy=carry.dy,
+    )
+
+
+def elm2_velocity_qfp(
+    tab: ELMTableau, carry: ELM2CarryQFP, h, shape: tuple
+) -> jax.Array:
+    return elm2_velocity_qf(tab, elm2_qfp_to(carry, shape), h)

@@ -149,28 +149,23 @@ def _lane_block(m: int, n_rings: int, order: int, max_lanes: int | None = None) 
     return mt
 
 
-def _pack(x, sub: int):
-    """(O, M) ring -> (O*SUB, M/SUB): each row becomes SUB sublane rows."""
-    o, m = x.shape
-    return x.reshape(o * sub, m // sub)
-
-
-@partial(jax.jit, static_argnames=("order", "c_y", "dy_nonzero", "interpret"))
-def _elm2q_update_flat(
-    coef, ys, ddh, ddl, *, order, c_y, dy_nonzero, interpret=False
+@partial(
+    jax.jit, static_argnames=("order", "c_y", "dy_nonzero", "sub", "interpret")
+)
+def _elm2q_update_flat_sub(
+    coef, ys0, ys1, ys2, ys3, ddh, ddl, *, order, c_y, dy_nonzero, sub=1,
+    interpret=False,
 ):
-    o, m = ys[0].shape
+    """Pre-packed flat 4-limb update: rings (O*SUB, M/SUB) in, (SUB, M/SUB)
+    out.  See :func:`_elm2f_update_flat_sub` for the packed-layout contract."""
+    osub, mp = ys0.shape
+    o = order
+    assert osub == o * sub
+    m = mp * sub
     # lane-blocked grid: at ORDER=12, N=4096 one block holds the whole
     # problem (~3.5 MB); larger batches (ensembles) split along lanes.
-    # SUB=8 would pack each logical row onto all 8 VPU sublanes and makes
-    # the kernel ITSELF 2.1x faster at ensemble M (measured) - but the
-    # (O, M) -> (O*8, M/8) reshape at the call boundary retiles the whole
-    # ring in HBM every step and costs MORE than the kernel saves (full
-    # parity/ensemble steps measured slower).  Packing pays only once the
-    # carry is STORED packed across steps (round-3 item, docs/ROADMAP.md);
-    # until then the unpacked layout stays.
-    sub = 1
     mt = _lane_block(m, 6, o)
+    assert mt % sub == 0, (mt, sub)
     kernel = partial(
         _update_kernel, order=order, c_y=c_y, dy_nonzero=dy_nonzero,
         mt=mt, sub=sub, splat=not interpret,
@@ -188,14 +183,20 @@ def _elm2q_update_flat(
             grid=(m // mt,),
             in_specs=[coef_spec] + [ring] * 6,
             out_specs=[out] * 4,
-            out_shape=[jax.ShapeDtypeStruct((sub, m // sub), jnp.float32)] * 4,
+            out_shape=[jax.ShapeDtypeStruct((sub, mp), jnp.float32)] * 4,
             interpret=interpret,
-        )(
-            coef,
-            _pack(ys[0], sub), _pack(ys[1], sub),
-            _pack(ys[2], sub), _pack(ys[3], sub),
-            _pack(ddh, sub), _pack(ddl, sub),
-        )
+        )(coef, ys0, ys1, ys2, ys3, ddh, ddl)
+    return outs
+
+
+def _elm2q_update_flat(
+    coef, ys, ddh, ddl, *, order, c_y, dy_nonzero, interpret=False
+):
+    o, m = ys[0].shape
+    outs = _elm2q_update_flat_sub(
+        coef, ys[0], ys[1], ys[2], ys[3], ddh, ddl,
+        order=order, c_y=c_y, dy_nonzero=dy_nonzero, sub=1, interpret=interpret,
+    )
     return tuple(x.reshape(1, m) for x in outs)
 
 
@@ -285,15 +286,28 @@ def _update_kernel2(
 
 
 @partial(
-    jax.jit, static_argnames=("order", "c_y", "dy_nonzero", "interpret", "max_lanes")
+    jax.jit,
+    static_argnames=("order", "c_y", "dy_nonzero", "sub", "interpret", "max_lanes"),
 )
-def _elm2f_update_flat(
-    coef, ysh, ysl, ddh, ddl, *, order, c_y, dy_nonzero, interpret=False,
+def _elm2f_update_flat_sub(
+    coef, ysh, ysl, ddh, ddl, *, order, c_y, dy_nonzero, sub=1, interpret=False,
     max_lanes=None,
 ):
-    o, m = ysh.shape
-    sub = 1  # see _elm2q_update_flat: packed rows need a packed carry
+    """Pre-packed flat update: rings (O*SUB, M/SUB) in, (SUB, M/SUB) out.
+
+    ``sub`` > 1 is the sublane-packed layout: each logical (1, M) row is
+    stored as SUB sublane rows, so the elementwise update uses all VPU
+    sublanes (2.1x kernel speedup at ensemble M, measured round 2).  The
+    caller owns keeping the rings packed ACROSS steps — packing at the
+    call boundary retiles the rings in HBM every step and nets a loss
+    (measured; docs/ROADMAP.md round-3 item).
+    """
+    osub, mp = ysh.shape
+    o = order
+    assert osub == o * sub
+    m = mp * sub
     mt = _lane_block(m, 4, o, max_lanes)
+    assert mt % sub == 0, (mt, sub)
     kernel = partial(
         _update_kernel2, order=order, c_y=c_y, dy_nonzero=dy_nonzero,
         mt=mt, sub=sub, splat=not interpret,
@@ -311,9 +325,21 @@ def _elm2f_update_flat(
             grid=(m // mt,),
             in_specs=[coef_spec] + [ring] * 4,
             out_specs=[out] * 2,
-            out_shape=[jax.ShapeDtypeStruct((sub, m // sub), jnp.float32)] * 2,
+            out_shape=[jax.ShapeDtypeStruct((sub, mp), jnp.float32)] * 2,
             interpret=interpret,
-        )(coef, _pack(ysh, sub), _pack(ysl, sub), _pack(ddh, sub), _pack(ddl, sub))
+        )(coef, ysh, ysl, ddh, ddl)
+    return outs
+
+
+def _elm2f_update_flat(
+    coef, ysh, ysl, ddh, ddl, *, order, c_y, dy_nonzero, interpret=False,
+    max_lanes=None,
+):
+    o, m = ysh.shape
+    outs = _elm2f_update_flat_sub(
+        coef, ysh, ysl, ddh, ddl, order=order, c_y=c_y, dy_nonzero=dy_nonzero,
+        sub=1, interpret=interpret, max_lanes=max_lanes,
+    )
     return tuple(x.reshape(1, m) for x in outs)
 
 
@@ -346,3 +372,79 @@ def elm2f_update(
         max_lanes=max_lanes,
     )
     return TwoFloat(oh.reshape(shape[1:]), ol.reshape(shape[1:]))
+
+
+# ---------------------------------------------------------------------------
+# Sublane-packed entry points: rings stored (ORDER, SUB, M/SUB) across steps
+# ---------------------------------------------------------------------------
+#
+# The kernels above process each ring row as (1, M) — one of the VPU's 8
+# sublanes.  Packing rows to (SUB, M/SUB) makes the kernel itself 2.1x
+# faster at ensemble M (measured round 2), but repacking at the call
+# boundary retiles the rings in HBM every step and nets a LOSS.  These
+# entry points therefore take rings that the CARRY stores packed
+# (integrators/multistep.ELM2CarryFP/QFP): the shift logic concatenates in
+# packed layout, and only y_new (one row, not ORDER of them) is reshaped
+# to logical (N, 3) at the force interface.
+
+
+def elm2f_update_packed(
+    tab, h: float, ys: TwoFloat, dd: TwoFloat, interpret: bool = False,
+    max_lanes: int | None = None,
+):
+    """y_{n+1} pair from PACKED TwoFloat rings.
+
+    ys/dd: TwoFloat of (ORDER, SUB, M/SUB) f32, newest first, aligned —
+    each ring row's logical (M,) elements stored across SUB sublane rows.
+    Returns a TwoFloat of shape (SUB, M/SUB) (packed y_new).  Bitwise-
+    identical to :func:`elm2f_update` on the unpacked view (the update is
+    elementwise; packing only changes the layout).
+    """
+    o, sub, mp = ys.hi.shape
+    m = sub * mp
+    assert all(abs(c) in (0.0, 1.0, 2.0) for c in tab.c_y), tab.name
+    coef = _coef_array(tab, h, o, m, interpret)
+    dy_nonzero = tuple(j for j, c in enumerate(tab.c_dy) if float(c) != 0.0)
+    oh, ol = _elm2f_update_flat_sub(
+        coef,
+        ys.hi.reshape(o * sub, mp),
+        ys.lo.reshape(o * sub, mp),
+        dd.hi.reshape(o * sub, mp),
+        dd.lo.reshape(o * sub, mp),
+        order=o,
+        c_y=tuple(float(c) for c in tab.c_y),
+        dy_nonzero=dy_nonzero,
+        sub=sub,
+        interpret=interpret,
+        max_lanes=max_lanes,
+    )
+    return TwoFloat(oh, ol)
+
+
+def elm2q_update_packed(
+    tab, h: float, ys: tuple, dd: TwoFloat, interpret: bool = False
+):
+    """y_{n+1} limbs from PACKED 4-limb rings.
+
+    ys: 4-tuple of (ORDER, SUB, M/SUB) f32 limb arrays; dd: TwoFloat of the
+    same packed shape.  Returns a 4-tuple of (SUB, M/SUB) f32 limbs.
+    """
+    o, sub, mp = ys[0].shape
+    m = sub * mp
+    assert all(abs(c) in (0.0, 1.0, 2.0) for c in tab.c_y), tab.name
+    coef = _coef_array(tab, h, o, m, interpret)
+    dy_nonzero = tuple(j for j, c in enumerate(tab.c_dy) if float(c) != 0.0)
+    return _elm2q_update_flat_sub(
+        coef,
+        ys[0].reshape(o * sub, mp),
+        ys[1].reshape(o * sub, mp),
+        ys[2].reshape(o * sub, mp),
+        ys[3].reshape(o * sub, mp),
+        dd.hi.reshape(o * sub, mp),
+        dd.lo.reshape(o * sub, mp),
+        order=o,
+        c_y=tuple(float(c) for c in tab.c_y),
+        dy_nonzero=dy_nonzero,
+        sub=sub,
+        interpret=interpret,
+    )

@@ -83,6 +83,7 @@ def _rsqrt_df(x: TwoFloat, refinements: int = 1) -> TwoFloat:
 
 
 def _accel_kernel(
+    row0_ref,
     pos_hi_ref, pos_lo_ref, mu_hi_ref, mu_lo_ref,
     rows_hi_ref, rows_lo_ref,
     out_hi_ref, out_lo_ref,
@@ -94,6 +95,12 @@ def _accel_kernel(
     sources (3, N) + (1, N) mu, and sublane-major receiver rows (TR, 3).
     The per-receiver reduction runs over lanes; output blocks are (TR, 3).
 
+    ``row0_ref`` is a (1,) int32 SMEM scalar: the GLOBAL id of receiver
+    row 0 — zero for the unsharded square kernels, the shard offset for
+    the row-sharded rectangular variant (so self-interaction masking works
+    when the rows are a slice of the sources).  A scalar + in-kernel iota
+    instead of a (NL, 1) id array: the array load costs ~8% (measured).
+
     With ``ens=True`` the blocks carry a leading ensemble dim of size 1
     (grid axis 0 = ensemble member) — a fused grid instead of a vmapped
     pallas_call, which costs ~25% at 16 x 4096 (measured).
@@ -101,7 +108,9 @@ def _accel_kernel(
     tr, tc = tile_rows, tile_cols
     lead = (0,) if ens else ()
     n_col_tiles = n_bodies // tc
-    i0 = jax.lax.mul(pl.program_id(1 if ens else 0), jnp.int32(tr))
+    i0 = jax.lax.add(
+        jax.lax.mul(pl.program_id(1 if ens else 0), jnp.int32(tr)), row0_ref[0]
+    )
     row_ids = jax.lax.add(jax.lax.broadcasted_iota(jnp.int32, (tr, 1), 0), i0)
 
     rows_hi = rows_hi_ref[(*lead, slice(None), slice(None))]  # (TR, 3)
@@ -173,6 +182,7 @@ def pairwise_accel_df64_ensemble(
 
     rows_hi = jnp.swapaxes(pos_hi, 1, 2)  # (E, N, 3) sublane-major rows
     rows_lo = jnp.swapaxes(pos_lo, 1, 2)
+    row0 = jnp.zeros((1,), jnp.int32)
 
     kernel = partial(
         _accel_kernel, n_bodies=n, tile_rows=tile_rows, tile_cols=tile_cols,
@@ -184,6 +194,7 @@ def pairwise_accel_df64_ensemble(
             kernel,
             grid=grid,
             in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 3, n), lambda e, i: (e, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 3, n), lambda e, i: (e, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, n), lambda e, i: (0, 0), memory_space=pltpu.VMEM),
@@ -200,7 +211,7 @@ def pairwise_accel_df64_ensemble(
                 jax.ShapeDtypeStruct((e, n, 3), jnp.float32),
             ],
             interpret=interpret,
-        )(pos_hi, pos_lo, mu_hi, mu_lo, rows_hi, rows_lo)
+        )(row0, pos_hi, pos_lo, mu_hi, mu_lo, rows_hi, rows_lo)
 
 
 def pairwise_accel_ensemble(pos, mu_hi, mu_lo, interpret: bool = False, **tiles):
@@ -231,11 +242,55 @@ def pairwise_accel_df64(
 
     rows_hi = pos_hi.T  # (N, 3) sublane-major receiver view
     rows_lo = pos_lo.T
+    row0 = jnp.zeros((1,), jnp.int32)
+    return _pallas_accel_rect(
+        pos_hi, pos_lo, mu_hi, mu_lo, rows_hi, rows_lo, row0,
+        tile_rows=tile_rows, tile_cols=tile_cols, interpret=interpret,
+    )
+
+
+@partial(jax.jit, static_argnames=("tile_rows", "tile_cols", "interpret"))
+def pairwise_accel_df64_rows(
+    pos_hi, pos_lo, mu_hi, mu_lo, rows_hi, rows_lo, row0,
+    tile_rows: int = 256, tile_cols: int = 1024, interpret: bool = False,
+):
+    """Rectangular two-float pair kernel: NL receiver rows vs N sources.
+
+    The production kernel for the row-decomposed (model-parallel) N-axis
+    sharding (SURVEY.md 2.6): each shard all-gathers the (hi, lo) source
+    positions over ICI and evaluates only its local receiver rows here.
+
+    pos_hi/pos_lo: (3, N) f32 split SOURCE positions (all bodies).
+    mu_hi/mu_lo:   (1, N) f32 split gravitational parameters.
+    rows_hi/rows_lo: (NL, 3) f32 split RECEIVER positions (local rows).
+    row0:          (1,) int32 global id of receiver row 0 (shard offset).
+    Returns (acc_hi, acc_lo) of shape (NL, 3).  Bitwise-identical to the
+    matching rows of :func:`pairwise_accel_df64` for equal ``tile_cols``
+    (the column accumulation order is the only order-sensitive part).
+    """
+    nl = rows_hi.shape[0]
+    tile_rows = min(tile_rows, nl)
+    return _pallas_accel_rect(
+        pos_hi, pos_lo, mu_hi, mu_lo, rows_hi, rows_lo,
+        row0.astype(jnp.int32),
+        tile_rows=tile_rows, tile_cols=tile_cols, interpret=interpret,
+    )
+
+
+def _pallas_accel_rect(
+    pos_hi, pos_lo, mu_hi, mu_lo, rows_hi, rows_lo, row0,
+    *, tile_rows: int, tile_cols: int, interpret: bool,
+):
+    n = pos_hi.shape[1]
+    nl = rows_hi.shape[0]
+    tile_cols = min(tile_cols, n)
+    tile_rows = min(tile_rows, nl)
+    assert nl % tile_rows == 0 and n % tile_cols == 0
 
     kernel = partial(
         _accel_kernel, n_bodies=n, tile_rows=tile_rows, tile_cols=tile_cols
     )
-    grid = (n // tile_rows,)
+    grid = (nl // tile_rows,)
     # Mosaic cannot lower the i64 grid/index scalars that jax_enable_x64
     # injects; trace the kernel with x64 disabled (all operands are f32).
     with jax.enable_x64(False):
@@ -243,6 +298,7 @@ def pairwise_accel_df64(
             kernel,
             grid=grid,
             in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((3, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((3, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -255,11 +311,11 @@ def pairwise_accel_df64(
                 pl.BlockSpec((tile_rows, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((n, 3), jnp.float32),
-                jax.ShapeDtypeStruct((n, 3), jnp.float32),
+                jax.ShapeDtypeStruct((nl, 3), jnp.float32),
+                jax.ShapeDtypeStruct((nl, 3), jnp.float32),
             ],
             interpret=interpret,
-        )(pos_hi, pos_lo, mu_hi, mu_lo, rows_hi, rows_lo)
+        )(row0, pos_hi, pos_lo, mu_hi, mu_lo, rows_hi, rows_lo)
 
 
 def split_f64(x, transpose: bool = False):
@@ -299,6 +355,7 @@ def pairwise_accel(pos, mu_hi, mu_lo, interpret: bool = False, **tiles):
 
 
 def _accel_kernel3(
+    row0_ref,
     p0_ref, p1_ref, p2_ref, mu_hi_ref, mu_lo_ref,
     r0_ref, r1_ref, r2l_ref,
     out_hi_ref, out_lo_ref,
@@ -306,7 +363,10 @@ def _accel_kernel3(
 ):
     tr, tc = tile_rows, tile_cols
     n_col_tiles = n_bodies // tc
-    i0 = jax.lax.mul(pl.program_id(0), jnp.int32(tr))
+    # row0_ref: (1,) i32 SMEM global offset of row 0 (see _accel_kernel)
+    i0 = jax.lax.add(
+        jax.lax.mul(pl.program_id(0), jnp.int32(tr)), row0_ref[0]
+    )
     row_ids = jax.lax.add(jax.lax.broadcasted_iota(jnp.int32, (tr, 1), 0), i0)
 
     rows0 = r0_ref[:, :]  # (TR, 3) limb arrays, rows in sublanes
@@ -398,20 +458,60 @@ def pairwise_accel_limbs_pair(
     the emulated-f64 combine/re-split round trip.
     """
     n = l0.shape[0]
+    row0 = jnp.zeros((1,), jnp.int32)
+    lane = [x.T for x in (l0, l1, l2)]  # (3, N) lane-major views
+    return _pallas_accel3_rect(
+        lane[0], lane[1], lane[2], mu_hi, mu_lo, l0, l1, l2, row0,
+        tile_rows=tile_rows, tile_cols=tile_cols, interpret=interpret,
+    )
+
+
+@partial(jax.jit, static_argnames=("tile_rows", "tile_cols", "interpret"))
+def pairwise_accel_limbs_pair_rows(
+    p0, p1, p2, mu_hi, mu_lo, r0, r1, r2, row0,
+    tile_rows: int = 128, tile_cols: int = 1024, interpret: bool = False,
+):
+    """Rectangular 3-limb pair kernel: NL receiver rows vs N sources.
+
+    The parity-engine force for the row-decomposed N-axis sharding; see
+    :func:`pairwise_accel_df64_rows` for the sharding contract.
+
+    p0/p1/p2: (3, N) f32 lane-major SOURCE limb arrays (all bodies).
+    mu_hi/mu_lo: (1, N) split gravitational parameters.
+    r0/r1/r2: (NL, 3) f32 RECEIVER limb arrays (local rows).
+    row0:     (1,) int32 global id of receiver row 0 (shard offset).
+    Returns (acc_hi, acc_lo) of shape (NL, 3), bitwise-identical to the
+    matching rows of :func:`pairwise_accel_limbs_pair` for equal
+    ``tile_cols``.
+    """
+    nl = r0.shape[0]
+    tile_rows = min(tile_rows, nl)
+    return _pallas_accel3_rect(
+        p0, p1, p2, mu_hi, mu_lo, r0, r1, r2, row0.astype(jnp.int32),
+        tile_rows=tile_rows, tile_cols=tile_cols, interpret=interpret,
+    )
+
+
+def _pallas_accel3_rect(
+    p0, p1, p2, mu_hi, mu_lo, r0, r1, r2, row0,
+    *, tile_rows: int, tile_cols: int, interpret: bool,
+):
+    n = p0.shape[1]
+    nl = r0.shape[0]
     tile_cols = min(tile_cols, n)
-    tile_rows = min(tile_rows, n)
-    assert n % tile_rows == 0 and n % tile_cols == 0
+    tile_rows = min(tile_rows, nl)
+    assert nl % tile_rows == 0 and n % tile_cols == 0
 
     kernel = partial(
         _accel_kernel3, n_bodies=n, tile_rows=tile_rows, tile_cols=tile_cols
     )
-    grid = (n // tile_rows,)
-    lane = [x.T for x in (l0, l1, l2)]  # (3, N) lane-major views
+    grid = (nl // tile_rows,)
     with jax.enable_x64(False):
         ah, al = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((3, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((3, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((3, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -426,11 +526,11 @@ def pairwise_accel_limbs_pair(
                 pl.BlockSpec((tile_rows, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((n, 3), jnp.float32),
-                jax.ShapeDtypeStruct((n, 3), jnp.float32),
+                jax.ShapeDtypeStruct((nl, 3), jnp.float32),
+                jax.ShapeDtypeStruct((nl, 3), jnp.float32),
             ],
             interpret=interpret,
-        )(lane[0], lane[1], lane[2], mu_hi, mu_lo, l0, l1, l2)
+        )(row0, p0, p1, p2, mu_hi, mu_lo, r0, r1, r2)
     return ah, al
 
 

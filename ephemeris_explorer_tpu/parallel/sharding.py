@@ -73,6 +73,170 @@ def pairwise_accel_rowsharded(mesh: Mesh, pos, mu):
 
 
 # ---------------------------------------------------------------------------
+# Row-sharded PRODUCTION force: shard_map x Pallas pair kernels
+# ---------------------------------------------------------------------------
+#
+# pairwise_accel_rowsharded above is the plain-jnp (emulated-f64) reference
+# decomposition.  The functions below compose the SAME row decomposition with
+# the production Pallas arithmetic: each shard all-gathers the split source
+# positions over ICI ("model" axis) and runs the rectangular pair kernel
+# (ops/pallas_nbody.pairwise_accel_df64_rows / _limbs_pair_rows) on its local
+# receiver rows; the fused update kernels are elementwise over rows and run
+# shard-local with zero collectives.  Results are bitwise-identical to the
+# unsharded kernels for equal tile_cols (column accumulation order is the
+# only order-sensitive part).
+
+
+def _local_row0(nl: int):
+    """Global id of this shard's row 0 ((1,) int32 scalar for SMEM)."""
+    row0 = jax.lax.axis_index("model").astype(jnp.int32) * nl
+    return row0.reshape(1)
+
+
+def pairwise_accel_rowsharded_pair(
+    mesh: Mesh, pos_hi, pos_lo, mu_hi, mu_lo,
+    interpret: bool = False, **force_tiles,
+):
+    """Row-sharded O(N^2) force on the production two-float Pallas kernel.
+
+    pos_hi/pos_lo: (N, 3) f32 split positions, sharded on rows over "model".
+    mu_hi/mu_lo:   (1, N) f32 split mu, replicated.
+    Returns (acc_hi, acc_lo) of shape (N, 3), row-sharded like the input.
+    """
+    from ..ops.pallas_nbody import pairwise_accel_df64_rows
+
+    def kernel(ph_l, pl_l, mu_h, mu_l):
+        ph_all = jax.lax.all_gather(ph_l, "model", axis=0, tiled=True)  # (N, 3)
+        pl_all = jax.lax.all_gather(pl_l, "model", axis=0, tiled=True)
+        row0 = _local_row0(ph_l.shape[0])
+        return pairwise_accel_df64_rows(
+            ph_all.T, pl_all.T, mu_h, mu_l, ph_l, pl_l, row0,
+            interpret=interpret, **force_tiles,
+        )
+
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+    # annotation (same contract note as make_shardmap_ensemble_scan_f)
+    return jax.shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(P("model", None), P("model", None), P(None, None), P(None, None)),
+        out_specs=(P("model", None), P("model", None)),
+        check_vma=False,
+    )(pos_hi, pos_lo, mu_hi, mu_lo)
+
+
+def make_rowsharded_scan_f(
+    mesh: Mesh, tab, mus, h, n_steps: int, interpret: bool = False, **force_tiles
+):
+    """N-axis (model-parallel) fused scan: the ELM2CarryF rings row-sharded
+    over "model", force via all_gather + rectangular pair kernel, TwoFloat
+    update kernel shard-local.
+
+    This is the production composition SURVEY.md 2.6 names for sharded N
+    ("all_gather inside shard_map for the N^2 tile reduction"), mirroring
+    what :func:`make_shardmap_ensemble_scan_f` does for the ensemble axis.
+    Returns (run, to_f); feed ``to_f(elm2_init(...))`` carries.
+    """
+    from ..integrators.multistep import (
+        ELM2CarryF, elm2_f_from, elm2_step_f, elm2_velocity_f,
+    )
+    from ..ops.eft import TwoFloat
+    from ..ops.pallas_nbody import pairwise_accel_df64_rows, split_f64
+
+    mu_dev = jnp.asarray(mus)
+    mu_hi, mu_lo = split_f64(mu_dev.reshape(1, -1))
+
+    def local_scan(mu_h, mu_l, carry: ELM2CarryF) -> ELM2CarryF:
+        row0 = _local_row0(carry.ys.hi.shape[1])
+
+        def accel_pair(t, y):  # y: TwoFloat (NL, 3) local rows
+            ph_all = jax.lax.all_gather(y.hi, "model", axis=0, tiled=True)
+            pl_all = jax.lax.all_gather(y.lo, "model", axis=0, tiled=True)
+            ah, al = pairwise_accel_df64_rows(
+                ph_all.T, pl_all.T, mu_h, mu_l, y.hi, y.lo, row0,
+                interpret=interpret, **force_tiles,
+            )
+            return TwoFloat(ah, al)
+
+        def body(c, _):
+            return elm2_step_f(tab, accel_pair, h, c, interpret=interpret), None
+
+        c, _ = jax.lax.scan(body, carry, None, length=n_steps)
+        return c._replace(dy=elm2_velocity_f(tab, c, h))
+
+    row = P(None, "model")
+    spec = ELM2CarryF(
+        t=P(),
+        ys=TwoFloat(row, row),
+        dd=TwoFloat(row, row),
+        dy=P("model"),
+    )
+    run = jax.jit(
+        jax.shard_map(
+            local_scan, mesh=mesh,
+            in_specs=(P(None, None), P(None, None), spec),
+            out_specs=spec, check_vma=False,
+        )
+    )
+    return (lambda carry: run(mu_hi, mu_lo, carry)), jax.jit(elm2_f_from)
+
+
+def make_rowsharded_scan_qf(
+    mesh: Mesh, tab, mus, h, n_steps: int, interpret: bool = False, **force_tiles
+):
+    """Row-sharded PARITY engine: 4-limb expansion rings sharded over
+    "model", 3-limb rectangular force kernel + shard-local fused update.
+
+    The full-precision (~2^-90 state, error-free pair differences) engine
+    of the accuracy story, scaled over the N axis.  Returns (run, to_qf);
+    feed ``to_qf(elm2_init_q(...))`` carries.
+    """
+    from ..integrators.multistep import (
+        ELM2CarryQF, elm2_qf_from_q, elm2_step_qf, elm2_velocity_qf,
+    )
+    from ..ops.eft import TwoFloat
+    from ..ops.pallas_nbody import pairwise_accel_limbs_pair_rows, split_f64
+
+    mu_dev = jnp.asarray(mus)
+    mu_hi, mu_lo = split_f64(mu_dev.reshape(1, -1))
+
+    def local_scan(mu_h, mu_l, carry: ELM2CarryQF) -> ELM2CarryQF:
+        row0 = _local_row0(carry.ys[0].shape[1])
+
+        def accel_pair(t, limbs):  # (l0, l1, l2) local rows (NL, 3)
+            alls = [
+                jax.lax.all_gather(l, "model", axis=0, tiled=True) for l in limbs
+            ]
+            return pairwise_accel_limbs_pair_rows(
+                alls[0].T, alls[1].T, alls[2].T, mu_h, mu_l,
+                limbs[0], limbs[1], limbs[2], row0,
+                interpret=interpret, **force_tiles,
+            )
+
+        def body(c, _):
+            return elm2_step_qf(tab, accel_pair, h, c, interpret=interpret), None
+
+        c, _ = jax.lax.scan(body, carry, None, length=n_steps)
+        return c._replace(dy=elm2_velocity_qf(tab, c, h))
+
+    row = P(None, "model")
+    spec = ELM2CarryQF(
+        t=P(),
+        ys=(row, row, row, row),
+        dd=TwoFloat(row, row),
+        dy=P("model"),
+    )
+    run = jax.jit(
+        jax.shard_map(
+            local_scan, mesh=mesh,
+            in_specs=(P(None, None), P(None, None), spec),
+            out_specs=spec, check_vma=False,
+        )
+    )
+    return (lambda carry: run(mu_hi, mu_lo, carry)), jax.jit(elm2_qf_from_q)
+
+
+# ---------------------------------------------------------------------------
 # Sharded multistep stepping (GSPMD)
 # ---------------------------------------------------------------------------
 

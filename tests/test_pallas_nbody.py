@@ -370,3 +370,82 @@ def test_f32_fast_mode_error_envelope():
     rel = np.abs(fast - ref).max() / scale
     assert rel < 1e-5, rel
     assert rel > 1e-9  # sanity: it IS single precision, not silently df64
+
+
+def test_packed_fused_steps_bitwise():
+    """The sublane-packed fused steps (ELM2CarryFP/QFP: rings stored
+    (ORDER, SUB, M/SUB) across steps) are BITWISE identical to the
+    unpacked fused steps — packing only changes the layout."""
+    import jax.numpy as jnp
+
+    from ephemeris_explorer_tpu.integrators import get, multistep
+    from ephemeris_explorer_tpu.ops import nbody
+    from ephemeris_explorer_tpu.ops.eft import TwoFloat
+    from ephemeris_explorer_tpu.ops.pallas_nbody import (
+        pairwise_accel_df64,
+        pairwise_accel_limbs_pair,
+        split_f64,
+    )
+
+    n = 32
+    rng = np.random.default_rng(11)
+    pos = jnp.asarray(rng.normal(size=(n, 3)) * 1e6)
+    vel = jnp.asarray(rng.normal(size=(n, 3)))
+    mu = jnp.asarray(rng.uniform(1e3, 1e5, n))
+    tab = get("QuinlanTremaine12")
+    h = 600.0
+    steps = 6
+    shape = (n, 3)
+
+    mu_hi, mu_lo = split_f64(mu.reshape(1, -1))
+    accel = lambda t, y: nbody.pairwise_accel(y, mu)
+
+    # --- two-float (F) engine ---
+    def accel_pair(t, y):
+        ah, al = pairwise_accel_df64(
+            y.hi.T, y.lo.T, mu_hi, mu_lo, tile_rows=8, tile_cols=16,
+            interpret=True,
+        )
+        return TwoFloat(ah, al)
+
+    f = multistep.elm2_f_from(multistep.elm2_init(tab, accel, 0.0, pos, vel, h))
+    fp = multistep.elm2_fp_from(f)
+    for _ in range(steps):
+        f = multistep.elm2_step_f(tab, accel_pair, h, f, interpret=True)
+        fp = multistep.elm2_step_fp(
+            tab, accel_pair, h, fp, shape, interpret=True
+        )
+    back = multistep.elm2_fp_to(fp, shape)
+    np.testing.assert_array_equal(np.asarray(back.ys.hi), np.asarray(f.ys.hi))
+    np.testing.assert_array_equal(np.asarray(back.ys.lo), np.asarray(f.ys.lo))
+    np.testing.assert_array_equal(np.asarray(back.dd.hi), np.asarray(f.dd.hi))
+    np.testing.assert_array_equal(np.asarray(back.dd.lo), np.asarray(f.dd.lo))
+    v_ref = multistep.elm2_velocity_f(tab, f, h)
+    v_pak = multistep.elm2_velocity_fp(tab, fp, h, shape)
+    np.testing.assert_array_equal(np.asarray(v_pak), np.asarray(v_ref))
+
+    # --- 4-limb expansion (QF) engine ---
+    def accel_limbs(t, limbs):
+        return pairwise_accel_limbs_pair(
+            limbs[0], limbs[1], limbs[2], mu_hi, mu_lo,
+            tile_rows=8, tile_cols=16, interpret=True,
+        )
+
+    qf = multistep.elm2_qf_from_q(
+        multistep.elm2_init_q(tab, accel, 0.0, pos, vel, h)
+    )
+    qfp = multistep.elm2_qfp_from(qf)
+    for _ in range(steps):
+        qf = multistep.elm2_step_qf(tab, accel_limbs, h, qf, interpret=True)
+        qfp = multistep.elm2_step_qfp(
+            tab, accel_limbs, h, qfp, shape, interpret=True
+        )
+    backq = multistep.elm2_qfp_to(qfp, shape)
+    for k in range(4):
+        np.testing.assert_array_equal(
+            np.asarray(backq.ys[k]), np.asarray(qf.ys[k])
+        )
+    np.testing.assert_array_equal(np.asarray(backq.dd.hi), np.asarray(qf.dd.hi))
+    v_ref = multistep.elm2_velocity_qf(tab, qf, h)
+    v_pak = multistep.elm2_velocity_qfp(tab, qfp, h, shape)
+    np.testing.assert_array_equal(np.asarray(v_pak), np.asarray(v_ref))

@@ -177,3 +177,146 @@ def test_shardmap_fused_ensemble_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(out_s.dy), np.asarray(out_u.dy), rtol=1e-14, atol=1e-18
     )
+
+
+def test_rowsharded_pair_force_bitwise():
+    """The row-sharded production force (shard_map + rectangular two-float
+    Pallas kernel) is BITWISE identical to the unsharded square kernel for
+    equal tile_cols."""
+    from ephemeris_explorer_tpu.ops.pallas_nbody import (
+        pairwise_accel_df64, split_f64,
+    )
+
+    n = 64
+    rng = np.random.default_rng(3)
+    pos = jnp.asarray(rng.normal(size=(n, 3)) * 1e6)
+    mu = jnp.asarray(rng.uniform(1e3, 1e5, n))
+    ph, plo = split_f64(pos, transpose=True)          # (3, N)
+    mu_hi, mu_lo = split_f64(mu.reshape(1, -1))
+
+    ref_hi, ref_lo = pairwise_accel_df64(
+        ph, plo, mu_hi, mu_lo, tile_rows=8, tile_cols=16, interpret=True
+    )
+
+    mesh = sh.make_mesh(data=1, model=8)
+    rows = jax.NamedSharding(mesh, jax.P("model", None))
+    ph_r = jax.device_put(ph.T, rows)                 # (N, 3) row-sharded
+    plo_r = jax.device_put(plo.T, rows)
+    out_hi, out_lo = sh.pairwise_accel_rowsharded_pair(
+        mesh, ph_r, plo_r, mu_hi, mu_lo,
+        interpret=True, tile_rows=8, tile_cols=16,
+    )
+    np.testing.assert_array_equal(np.asarray(out_hi), np.asarray(ref_hi))
+    np.testing.assert_array_equal(np.asarray(out_lo), np.asarray(ref_lo))
+
+
+def test_rowsharded_scan_f_bitwise():
+    """The N-axis fused scan (rings row-sharded, all_gather + rectangular
+    force, shard-local update kernel) equals the unsharded fused scan
+    bitwise on the virtual mesh."""
+    from ephemeris_explorer_tpu.integrators.multistep import (
+        elm2_f_from, elm2_init, elm2_step_f, elm2_velocity_f,
+    )
+    from ephemeris_explorer_tpu.ops.eft import TwoFloat
+    from ephemeris_explorer_tpu.ops.pallas_nbody import (
+        pairwise_accel_df64, split_f64,
+    )
+
+    n = 32
+    rng = np.random.default_rng(5)
+    pos = rng.normal(size=(n, 3)) * 1e6
+    vel = rng.normal(size=(n, 3))
+    mu = rng.uniform(1e3, 1e5, n)
+    tab = get("QuinlanTremaine12")
+    h = 600.0
+    steps = 8
+
+    mu_j = jnp.asarray(mu)
+    accel = lambda t, y: nbody.pairwise_accel(y, mu_j)
+    carry0 = elm2_f_from(
+        elm2_init(tab, accel, 0.0, jnp.asarray(pos), jnp.asarray(vel), h)
+    )
+
+    # unsharded fused reference (square kernel, same tile_cols)
+    mu_hi, mu_lo = split_f64(mu_j.reshape(1, -1))
+
+    def accel_pair(t, y):
+        ph, plo = y.hi.T, y.lo.T
+        ah, al = pairwise_accel_df64(
+            ph, plo, mu_hi, mu_lo, tile_rows=8, tile_cols=16, interpret=True
+        )
+        return TwoFloat(ah, al)
+
+    ref = carry0
+    for _ in range(steps):
+        ref = elm2_step_f(tab, accel_pair, h, ref, interpret=True)
+    ref = ref._replace(dy=elm2_velocity_f(tab, ref, h))
+
+    mesh = sh.make_mesh(data=1, model=8)
+    run, to_f = sh.make_rowsharded_scan_f(
+        mesh, tab, mu, h, steps, interpret=True, tile_rows=8, tile_cols=16
+    )
+    out = run(carry0)
+
+    np.testing.assert_array_equal(np.asarray(out.ys.hi), np.asarray(ref.ys.hi))
+    np.testing.assert_array_equal(np.asarray(out.ys.lo), np.asarray(ref.ys.lo))
+    np.testing.assert_array_equal(np.asarray(out.dd.hi), np.asarray(ref.dd.hi))
+    # dy is reconstructed in plain f64 at the boundary; jit fuses the
+    # (y0-y1)/h + c*wsum chain with FMA contraction vs the eager reference
+    np.testing.assert_allclose(
+        np.asarray(out.dy), np.asarray(ref.dy), rtol=5e-16, atol=0
+    )
+
+
+def test_rowsharded_scan_qf_bitwise():
+    """The row-sharded PARITY engine (4-limb rings + 3-limb rectangular
+    force) equals the unsharded fused expansion scan bitwise."""
+    from ephemeris_explorer_tpu.integrators.multistep import (
+        elm2_init_q, elm2_qf_from_q, elm2_step_qf, elm2_velocity_qf,
+    )
+    from ephemeris_explorer_tpu.ops.pallas_nbody import (
+        pairwise_accel_limbs_pair, split_f64,
+    )
+
+    n = 32
+    rng = np.random.default_rng(7)
+    pos = rng.normal(size=(n, 3)) * 1e6
+    vel = rng.normal(size=(n, 3))
+    mu = rng.uniform(1e3, 1e5, n)
+    tab = get("QuinlanTremaine12")
+    h = 600.0
+    steps = 8
+
+    mu_j = jnp.asarray(mu)
+    accel = lambda t, y: nbody.pairwise_accel(y, mu_j)
+    carry0 = elm2_qf_from_q(
+        elm2_init_q(tab, accel, 0.0, jnp.asarray(pos), jnp.asarray(vel), h)
+    )
+
+    mu_hi, mu_lo = split_f64(mu_j.reshape(1, -1))
+
+    def accel_pair(t, limbs):
+        return pairwise_accel_limbs_pair(
+            limbs[0], limbs[1], limbs[2], mu_hi, mu_lo,
+            tile_rows=8, tile_cols=16, interpret=True,
+        )
+
+    ref = carry0
+    for _ in range(steps):
+        ref = elm2_step_qf(tab, accel_pair, h, ref, interpret=True)
+    ref = ref._replace(dy=elm2_velocity_qf(tab, ref, h))
+
+    mesh = sh.make_mesh(data=1, model=8)
+    run, to_qf = sh.make_rowsharded_scan_qf(
+        mesh, tab, mu, h, steps, interpret=True, tile_rows=8, tile_cols=16
+    )
+    out = run(carry0)
+
+    for k in range(4):
+        np.testing.assert_array_equal(
+            np.asarray(out.ys[k]), np.asarray(ref.ys[k])
+        )
+    np.testing.assert_array_equal(np.asarray(out.dd.hi), np.asarray(ref.dd.hi))
+    np.testing.assert_allclose(
+        np.asarray(out.dy), np.asarray(ref.dy), rtol=5e-16, atol=0
+    )
