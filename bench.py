@@ -74,10 +74,14 @@ def bench_headline() -> dict:
     from ephemeris_explorer_tpu.integrators.multistep import elm2_velocity
 
     def _fused_path():
+        # pair-native scan with the SUBLANE-PACKED carry (rings stored
+        # (ORDER, 8, M/8) across steps; measured +29% over the unpacked
+        # fused scan at N=4096 — the update kernel uses all 8 VPU sublanes)
         from ephemeris_explorer_tpu.integrators.multistep import (
             elm2_f_from,
-            elm2_step_f,
-            elm2_velocity_f,
+            elm2_fp_from,
+            elm2_step_fp,
+            elm2_velocity_fp,
         )
         from ephemeris_explorer_tpu.ops.eft import TwoFloat
         from ephemeris_explorer_tpu.ops.pallas_nbody import (
@@ -87,6 +91,7 @@ def bench_headline() -> dict:
         )
 
         mu_hi, mu_lo = split_f64(mu_dev.reshape(1, -1))
+        shape = (N_BODIES, 3)
 
         def accel(t, y):
             return pallas_accel(y, mu_hi, mu_lo)
@@ -98,13 +103,13 @@ def bench_headline() -> dict:
         @jax.jit
         def chunk(carry):
             def body(c, _):
-                return elm2_step_f(tab, accel_pair, h, c), None
+                return elm2_step_fp(tab, accel_pair, h, c, shape), None
 
             c, _ = jax.lax.scan(body, carry, None, length=STEPS_PER_CHUNK)
-            return c._replace(dy=elm2_velocity_f(tab, c, h))
+            return c._replace(dy=elm2_velocity_fp(tab, c, h, shape))
 
         init = jax.jit(
-            lambda p, v: elm2_f_from(elm2_init(tab, accel, 0.0, p, v, h))
+            lambda p, v: elm2_fp_from(elm2_f_from(elm2_init(tab, accel, 0.0, p, v, h)))
         )
         carry = chunk(init(jnp.asarray(pos), jnp.asarray(vel)))
         assert np.isfinite(_force(carry.ys))
@@ -132,11 +137,17 @@ def bench_headline() -> dict:
     except Exception:
         chunk, carry = _plain_path()
 
-    t0 = time.perf_counter()
+    # per-chunk timing: publish the spread, not just the aggregate (the
+    # r1->r2 headline moved ~4% between rounds; error bars pin whether a
+    # delta is variance or a regression)
+    rates = []
+    t_all = time.perf_counter()
     for _ in range(CHUNKS):
+        t0 = time.perf_counter()
         carry = chunk(carry)
-    _force(carry.ys)
-    elapsed = time.perf_counter() - t0
+        _force(carry.ys)
+        rates.append(N_BODIES * STEPS_PER_CHUNK / (time.perf_counter() - t0))
+    elapsed = time.perf_counter() - t_all
 
     steps = CHUNKS * STEPS_PER_CHUNK
     value = N_BODIES * steps / elapsed
@@ -147,6 +158,10 @@ def bench_headline() -> dict:
         "value": round(value, 1),
         "unit": "body-steps/s",
         "vs_baseline": round(value / BASELINE, 3),
+        "chunks": CHUNKS,
+        "spread_pct": round(
+            100.0 * (max(rates) - min(rates)) / (sum(rates) / len(rates)), 2
+        ),
     }
 
 
@@ -161,8 +176,9 @@ def bench_parity() -> dict:
     from ephemeris_explorer_tpu.integrators.multistep import (
         elm2_init_q,
         elm2_qf_from_q,
-        elm2_step_qf,
-        elm2_velocity_qf,
+        elm2_qfp_from,
+        elm2_step_qfp,
+        elm2_velocity_qfp,
     )
     from ephemeris_explorer_tpu.ops.pallas_nbody import (
         pairwise_accel as pallas_accel,
@@ -175,6 +191,7 @@ def bench_parity() -> dict:
     mu_dev = jnp.asarray(mu)
     mu_hi, mu_lo = split_f64(mu_dev.reshape(1, -1))
     h = 600.0
+    shape = (N_BODIES, 3)
 
     def accel(t, y):
         return pallas_accel(y, mu_hi, mu_lo)
@@ -185,15 +202,15 @@ def bench_parity() -> dict:
     @jax.jit
     def chunk(carry):
         def body(c, _):
-            return elm2_step_qf(tab, accel_pair, h, c), None
+            return elm2_step_qfp(tab, accel_pair, h, c, shape), None
 
         c, _ = jax.lax.scan(body, carry, None, length=STEPS_PER_CHUNK)
         # Cowell velocity deferred out of the scan (production generation
         # does the same per chunk); restored here so the carry stays exact
-        return c._replace(dy=elm2_velocity_qf(tab, c, h))
+        return c._replace(dy=elm2_velocity_qfp(tab, c, h, shape))
 
     init = jax.jit(
-        lambda p, v: elm2_qf_from_q(elm2_init_q(tab, accel, 0.0, p, v, h))
+        lambda p, v: elm2_qfp_from(elm2_qf_from_q(elm2_init_q(tab, accel, 0.0, p, v, h)))
     )
     carry = init(jnp.asarray(pos), jnp.asarray(vel))
     carry = chunk(carry)
@@ -319,12 +336,20 @@ def bench_ensemble() -> dict:
     carry0 = sh.init_fused_ensemble_carry(tab, mu, 0.0, pos, vel, h)
     steps = 20
     try:
-        run, to_f = sh.make_fused_ensemble_scan_f(tab, mu, h, steps)
+        # sublane-packed pair-native scan (rings stored packed across steps)
+        run, to_f = sh.make_fused_ensemble_scan_fp(
+            tab, mu, h, steps, shape=(E, N_BODIES, 3)
+        )
         carry = run(to_f(carry0))
         assert np.isfinite(_force(carry.ys))
     except Exception:
-        run = sh.make_fused_ensemble_scan(tab, mu, h, steps)
-        carry = run(carry0)
+        try:
+            run, to_f = sh.make_fused_ensemble_scan_f(tab, mu, h, steps)
+            carry = run(to_f(carry0))
+            assert np.isfinite(_force(carry.ys))
+        except Exception:
+            run = sh.make_fused_ensemble_scan(tab, mu, h, steps)
+            carry = run(carry0)
     _force(carry.ys)
 
     t0 = time.perf_counter()

@@ -38,3 +38,27 @@ def test_expansion_state_60d_vs_dd_truth():
     # sanity-bound it loosely so the truth itself is also being exercised
     (_, ref_all, _) = res["ref64"][-1]
     assert 0.010 < ref_all < 1.0, f"ref64 vs dd unexpectedly {ref_all} km"
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.slow
+def test_expansion3_1y_vs_dd_truth():
+    """1-year full_solar_system: the expansion3 engine (error-free pair
+    deltas) stays within 15 m of the dd128 truth (measured 7.7 m @ 1 y in
+    docs/accuracy_100y.csv).  Catches the century-scale slow-systematic-bias
+    class (e.g. the 2^-47 rsqrt bias tf96 removed) that the 60-day gate
+    cannot see — 1-year spans are the reference's own gate size
+    (solar_system_convergence.rs:225-360)."""
+    res = audit(
+        "full_solar_system_2433282.5",
+        total_steps=52596,  # 365.25 days @ 600 s
+        checkpoints=1,
+        modes=["expansion3"],
+        verbose=False,
+    )
+    (days, err_all, err_planets) = res["expansion3"][-1]
+    assert abs(days - 365.25) < 1.0
+    assert err_all < 0.015, f"expansion3 drifted {err_all * 1e3:.1f} m @ 1 y"
+    assert err_planets < 0.005, f"planets {err_planets * 1e3:.2f} m @ 1 y"

@@ -449,3 +449,54 @@ def test_packed_fused_steps_bitwise():
     v_ref = multistep.elm2_velocity_qf(tab, qf, h)
     v_pak = multistep.elm2_velocity_qfp(tab, qfp, h, shape)
     np.testing.assert_array_equal(np.asarray(v_pak), np.asarray(v_ref))
+
+
+def test_mixed_mode_error_envelope():
+    """The mixed-precision kernel (error-free pair differences + f32 weight
+    chain) holds ~1e-6 relative PER-PAIR error even for a very close pair,
+    where the plain-f32 kernel's position-rounding cancellation costs
+    orders of magnitude more — the documented middle rung of the precision
+    ladder."""
+    from ephemeris_explorer_tpu.ops.pallas_nbody import (
+        pairwise_accel_f32,
+        pairwise_accel_mixed,
+    )
+
+    n = 16
+    rng = np.random.default_rng(29)
+    pos = rng.normal(size=(n, 3)) * 1.0e6
+    # a Phobos-Mars-like close pair: separation ~5e-5 of the position
+    # scale, deliberately NOT ulp-aligned (an ulp-multiple offset would
+    # make the plain-f32 difference accidentally exact)
+    pos[1] = pos[0] + np.array([40.1234567, 19.7654321, -9.87654321])
+    mu = rng.uniform(1.0e3, 1.0e5, size=n)
+    mu[0] = 1.0e7  # heavy primary so the close pair dominates body 1's force
+
+    mu_hi, mu_lo = split_f64(jnp.asarray(mu).reshape(1, n))
+    ref = np.asarray(
+        pairwise_accel(jnp.asarray(pos), mu_hi, mu_lo,
+                       interpret=True, tile_rows=8, tile_cols=8)
+    )
+
+    ph, plo = split_f64(jnp.asarray(pos), transpose=True)
+    mu32 = jnp.asarray(mu, jnp.float64).astype(jnp.float32).reshape(1, n)
+    mixed = np.asarray(
+        pairwise_accel_mixed(ph, plo, mu32, interpret=True,
+                             tile_rows=8, tile_cols=8)
+    )
+    fast = np.asarray(
+        pairwise_accel_f32(
+            jnp.asarray(pos, jnp.float64).astype(jnp.float32), mu32,
+            interpret=True, tile_rows=8, tile_cols=8,
+        )
+    )
+
+    # per-body relative error (body 1's force is dominated by the close pair)
+    mag = np.linalg.norm(ref, axis=1)
+    rel_mixed = np.linalg.norm(mixed - ref, axis=1) / mag
+    rel_fast = np.linalg.norm(fast - ref, axis=1) / mag
+    assert rel_mixed.max() < 3e-6, rel_mixed.max()
+    # the close pair wrecks the plain-f32 kernel but not the mixed kernel
+    assert rel_fast[1] > 30 * rel_mixed[1], (rel_fast[1], rel_mixed[1])
+    assert rel_mixed[1] < 3e-6, rel_mixed[1]
+    assert rel_mixed.max() > 1e-9  # sanity: it IS f32-chain, not df64

@@ -320,3 +320,35 @@ def test_rowsharded_scan_qf_bitwise():
     np.testing.assert_allclose(
         np.asarray(out.dy), np.asarray(ref.dy), rtol=5e-16, atol=0
     )
+
+
+def test_fused_ensemble_scan_fp_matches_f():
+    """The sublane-packed ensemble scan equals the unpacked fused scan
+    bitwise (packing is a pure layout change)."""
+    e, n = 2, 16
+    rng = np.random.default_rng(23)
+    pos = rng.normal(size=(e, n, 3)) * 1.0e6
+    vel = rng.normal(size=(e, n, 3))
+    mu = rng.uniform(1.0e3, 1.0e5, size=n)
+    tab = get("QuinlanTremaine12")
+    h = 600.0
+    steps = 6
+
+    carry0 = sh.init_fused_ensemble_carry(tab, mu, 0.0, pos, vel, h)
+    run_f, to_f = sh.make_fused_ensemble_scan_f(
+        tab, mu, h, steps, interpret=True, tile_rows=8, tile_cols=8
+    )
+    run_fp, to_fp = sh.make_fused_ensemble_scan_fp(
+        tab, mu, h, steps, shape=(e, n, 3), interpret=True,
+        tile_rows=8, tile_cols=8,
+    )
+    out_f = run_f(to_f(carry0))
+    out_fp = run_fp(to_fp(carry0))
+    o = out_f.ys.hi.shape[0]
+    unp = lambda x: np.asarray(x).reshape(o, e, n, 3)
+    np.testing.assert_array_equal(unp(out_fp.ys.hi), np.asarray(out_f.ys.hi))
+    np.testing.assert_array_equal(unp(out_fp.ys.lo), np.asarray(out_f.ys.lo))
+    np.testing.assert_array_equal(unp(out_fp.dd.hi), np.asarray(out_f.dd.hi))
+    np.testing.assert_allclose(
+        np.asarray(out_fp.dy), np.asarray(out_f.dy), rtol=5e-16, atol=0
+    )

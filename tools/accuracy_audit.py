@@ -92,9 +92,15 @@ def _chunk_runner(
 
         n = mu.shape[0]
         mu_hi, mu_lo = pk.split_f64(jnp.asarray(mu).reshape(1, n))
+        # off-TPU (CI): interpret-mode Pallas with CI-sized tiles — the same
+        # kernel arithmetic executed by XLA:CPU (tests/test_accuracy_gate.py)
+        interp3 = jax.default_backend() not in ("tpu", "axon")
+        kw3 = dict(interpret=True, tile_rows=8, tile_cols=8) if interp3 else {}
 
         def accel_limbs(t, limbs):
-            return pk.pairwise_accel_limbs(limbs[0], limbs[1], limbs[2], mu_hi, mu_lo)
+            return pk.pairwise_accel_limbs(
+                limbs[0], limbs[1], limbs[2], mu_hi, mu_lo, **kw3
+            )
     elif mode == "expansionF":
         from ephemeris_explorer_tpu.ops.nbody_full3 import pairwise_accel_full3
 
@@ -108,6 +114,15 @@ def _chunk_runner(
         if mode == "dd":
             carry = multistep.elm2_init_c(tab, accel, t0, pos, vel, h)
             step = lambda c: multistep.elm2_step_c(tab, accel, h, c)  # noqa: E731
+            extract = lambda c: np.asarray(c.ys.hi[0]) + np.asarray(c.ys.lo[0])  # noqa: E731
+        elif mode == "ddf":
+            # dd state AND dd force: the truth-grade variant that measures
+            # the `dd` truth's own f64-force rounding envelope
+            def accel_dd(t, y):
+                return nbody.pairwise_accel_dd(y, mu)
+
+            carry = multistep.elm2_init_cf(tab, accel_dd, t0, pos, vel, h)
+            step = lambda c: multistep.elm2_step_cf(tab, accel_dd, h, c)  # noqa: E731
             extract = lambda c: np.asarray(c.ys.hi[0]) + np.asarray(c.ys.lo[0])  # noqa: E731
         elif mode in ("ref64", "plain"):
             carry = multistep.elm2_init(tab, accel, t0, pos, vel, h)
@@ -173,9 +188,13 @@ def audit(
     modes: list[str],
     dt: float | None = None,
     verbose: bool = True,
+    truth: str = "dd",
 ) -> dict:
     """Integrate truth + candidate modes; return per-checkpoint max errors.
 
+    ``truth`` picks the oracle: "dd" (double-double state, plain-f64 force —
+    the reference's Double<T> recipe) or "ddf" (dd state AND dd force,
+    ~2^-106 throughout; measures the dd truth's own force-rounding floor).
     Returns {mode: [(sim_days, max_err_km_all, max_err_km_planets), ...]}.
     """
     sc = scene.load_scene(REPO / "systems" / scene_name)
@@ -192,8 +211,8 @@ def audit(
     default = jax.devices()[0]
 
     runs = {}
-    for mode in ["dd"] + modes:
-        device = cpu if mode in ("dd", "ref64") else default
+    for mode in [truth] + modes:
+        device = cpu if mode in ("dd", "ddf", "ref64") else default
         t_start = time.time()
         carry, run_chunk, extract = _chunk_runner(
             mode, tab, state.mus(), state.epoch.as_offset_seconds(),
@@ -213,12 +232,12 @@ def audit(
                 )
         runs[mode] = np.stack(traj)  # (n_chunks, N, 3)
 
-    truth = runs.pop("dd")
+    truth_traj = runs.pop(truth)
     out = {}
     for mode, traj in runs.items():
         rows = []
-        for k in range(truth.shape[0]):
-            err = np.linalg.norm(traj[k] - truth[k], axis=-1)  # (N,)
+        for k in range(truth_traj.shape[0]):
+            err = np.linalg.norm(traj[k] - truth_traj[k], axis=-1)  # (N,)
             days = (tab.order + (k + 1) * chunk) * abs(h) / 86400.0
             rows.append(
                 (days, float(np.max(err)), float(np.max(err[planet_rows])))
@@ -304,6 +323,10 @@ def main(argv=None) -> int:
     p.add_argument("--dt", type=float, default=None, help="step seconds (default: scene dt)")
     p.add_argument("--checkpoints", type=int, default=4)
     p.add_argument("--modes", default="ref64,expansion")
+    p.add_argument(
+        "--truth", choices=("dd", "ddf"), default="dd",
+        help="dd: dd state + f64 force (reference recipe); ddf: dd force too",
+    )
     p.add_argument("--csv", default=None)
     p.add_argument("--json", dest="json_out", default=None)
     p.add_argument("--oracle", action="store_true", help="76-year real-JPL endpoint check")
@@ -330,10 +353,14 @@ def main(argv=None) -> int:
     h = float(args.dt if args.dt is not None else sc.settings.dt.as_seconds())
     total_steps = int(round(span_s / h))
 
-    res = audit(args.scene, total_steps, args.checkpoints, modes, dt=args.dt)
+    res = audit(
+        args.scene, total_steps, args.checkpoints, modes, dt=args.dt,
+        truth=args.truth,
+    )
 
+    tdesc = "dd128(QT12,cpu)" if args.truth == "dd" else "dd128+ddforce(QT12,cpu)"
     print(f"# scene={args.scene} dt={h:.0f}s steps={total_steps} "
-          f"truth=dd128(QT12,cpu)")
+          f"truth={tdesc}")
     print(f"{'mode':12s} {'sim_days':>9s} {'max_all_km':>12s} {'max_planets_km':>14s}")
     rows_csv = []
     for mode, rows in res.items():
