@@ -751,7 +751,17 @@ def _chunk_fn(spec: "GenSpec", precision: str, n_scan: int, startup: bool, n_new
             )
             ms = elm2_f_to(msf)
         else:
-            ms, scan_ys = jax.lax.scan(body, carry.ms, None, length=n_scan)
+            # unroll: at solar-system N the scan body is op-dispatch-bound
+            # (~500 fused kernels on (12, 32, 3) arrays); unrolling 8 steps
+            # per loop iteration amortises the sequential loop overhead —
+            # measured 8.7 -> 5.5 us/step at N=32 (cuts nothing at large N,
+            # where the fused Pallas branch above applies instead).  Gated
+            # on long scans: the 8x bigger body is pure compile-time cost
+            # for the short chunks tests and interactive extension use.
+            ms, scan_ys = jax.lax.scan(
+                body, carry.ms, None, length=n_scan,
+                unroll=8 if n_scan >= 4096 else 1,
+            )
         if lazy_vel and n_scan > 0:
             from .integrators.multistep import elm2_velocity, elm2_velocity_q
 

@@ -83,34 +83,40 @@ def _rsqrt_df(x: TwoFloat, refinements: int = 1) -> TwoFloat:
 
 
 def _accel_kernel(
-    row0_ref,
-    pos_hi_ref, pos_lo_ref, mu_hi_ref, mu_lo_ref,
-    rows_hi_ref, rows_lo_ref,
-    out_hi_ref, out_lo_ref,
-    *, n_bodies: int, tile_rows: int, tile_cols: int, ens: bool = False,
+    *refs,
+    n_bodies: int, tile_rows: int, tile_cols: int, ens: bool = False,
+    with_row0: bool = False,
 ):
     """Pair tile layout: receiver rows in SUBLANES, source columns in LANES.
 
-    Inputs come in two layouts to avoid any in-kernel relayout: lane-major
-    sources (3, N) + (1, N) mu, and sublane-major receiver rows (TR, 3).
-    The per-receiver reduction runs over lanes; output blocks are (TR, 3).
+    refs: ([row0_ref,] pos_hi, pos_lo, mu_hi, mu_lo, rows_hi, rows_lo,
+    out_hi, out_lo).  Inputs come in two layouts to avoid any in-kernel
+    relayout: lane-major sources (3, N) + (1, N) mu, and sublane-major
+    receiver rows (TR, 3).  The per-receiver reduction runs over lanes;
+    output blocks are (TR, 3).
 
-    ``row0_ref`` is a (1,) int32 SMEM scalar: the GLOBAL id of receiver
-    row 0 — zero for the unsharded square kernels, the shard offset for
-    the row-sharded rectangular variant (so self-interaction masking works
-    when the rows are a slice of the sources).  A scalar + in-kernel iota
-    instead of a (NL, 1) id array: the array load costs ~8% (measured).
+    With ``with_row0=True`` (the rectangular/row-sharded variant) the
+    first ref is a (1,) int32 SMEM scalar: the GLOBAL id of receiver
+    row 0 (the shard offset), so self-interaction masking works when the
+    rows are a slice of the sources.  The unsharded square kernels omit
+    it entirely — even an SMEM scalar read + add in the grid loop
+    measures ~4% on the headline scan, and a (NL, 1) id ARRAY costs ~8%.
 
     With ``ens=True`` the blocks carry a leading ensemble dim of size 1
     (grid axis 0 = ensemble member) — a fused grid instead of a vmapped
     pallas_call, which costs ~25% at 16 x 4096 (measured).
     """
+    if with_row0:
+        row0_ref = refs[0]
+        refs = refs[1:]
+    (pos_hi_ref, pos_lo_ref, mu_hi_ref, mu_lo_ref,
+     rows_hi_ref, rows_lo_ref, out_hi_ref, out_lo_ref) = refs
     tr, tc = tile_rows, tile_cols
     lead = (0,) if ens else ()
     n_col_tiles = n_bodies // tc
-    i0 = jax.lax.add(
-        jax.lax.mul(pl.program_id(1 if ens else 0), jnp.int32(tr)), row0_ref[0]
-    )
+    i0 = jax.lax.mul(pl.program_id(1 if ens else 0), jnp.int32(tr))
+    if with_row0:
+        i0 = jax.lax.add(i0, row0_ref[0])
     row_ids = jax.lax.add(jax.lax.broadcasted_iota(jnp.int32, (tr, 1), 0), i0)
 
     rows_hi = rows_hi_ref[(*lead, slice(None), slice(None))]  # (TR, 3)
@@ -182,7 +188,6 @@ def pairwise_accel_df64_ensemble(
 
     rows_hi = jnp.swapaxes(pos_hi, 1, 2)  # (E, N, 3) sublane-major rows
     rows_lo = jnp.swapaxes(pos_lo, 1, 2)
-    row0 = jnp.zeros((1,), jnp.int32)
 
     kernel = partial(
         _accel_kernel, n_bodies=n, tile_rows=tile_rows, tile_cols=tile_cols,
@@ -194,7 +199,6 @@ def pairwise_accel_df64_ensemble(
             kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 3, n), lambda e, i: (e, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 3, n), lambda e, i: (e, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, n), lambda e, i: (0, 0), memory_space=pltpu.VMEM),
@@ -211,7 +215,7 @@ def pairwise_accel_df64_ensemble(
                 jax.ShapeDtypeStruct((e, n, 3), jnp.float32),
             ],
             interpret=interpret,
-        )(row0, pos_hi, pos_lo, mu_hi, mu_lo, rows_hi, rows_lo)
+        )(pos_hi, pos_lo, mu_hi, mu_lo, rows_hi, rows_lo)
 
 
 def pairwise_accel_ensemble(pos, mu_hi, mu_lo, interpret: bool = False, **tiles):
@@ -242,9 +246,8 @@ def pairwise_accel_df64(
 
     rows_hi = pos_hi.T  # (N, 3) sublane-major receiver view
     rows_lo = pos_lo.T
-    row0 = jnp.zeros((1,), jnp.int32)
     return _pallas_accel_rect(
-        pos_hi, pos_lo, mu_hi, mu_lo, rows_hi, rows_lo, row0,
+        pos_hi, pos_lo, mu_hi, mu_lo, rows_hi, rows_lo, None,
         tile_rows=tile_rows, tile_cols=tile_cols, interpret=interpret,
     )
 
@@ -287,18 +290,21 @@ def _pallas_accel_rect(
     tile_rows = min(tile_rows, nl)
     assert nl % tile_rows == 0 and n % tile_cols == 0
 
+    with_row0 = row0 is not None
     kernel = partial(
-        _accel_kernel, n_bodies=n, tile_rows=tile_rows, tile_cols=tile_cols
+        _accel_kernel, n_bodies=n, tile_rows=tile_rows, tile_cols=tile_cols,
+        with_row0=with_row0,
     )
     grid = (nl // tile_rows,)
+    row0_spec = [pl.BlockSpec(memory_space=pltpu.SMEM)] if with_row0 else []
+    row0_arg = (row0,) if with_row0 else ()
     # Mosaic cannot lower the i64 grid/index scalars that jax_enable_x64
     # injects; trace the kernel with x64 disabled (all operands are f32).
     with jax.enable_x64(False):
         return pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
+            in_specs=row0_spec + [
                 pl.BlockSpec((3, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((3, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -315,7 +321,7 @@ def _pallas_accel_rect(
                 jax.ShapeDtypeStruct((nl, 3), jnp.float32),
             ],
             interpret=interpret,
-        )(row0, pos_hi, pos_lo, mu_hi, mu_lo, rows_hi, rows_lo)
+        )(*row0_arg, pos_hi, pos_lo, mu_hi, mu_lo, rows_hi, rows_lo)
 
 
 def split_f64(x, transpose: bool = False):
@@ -355,18 +361,21 @@ def pairwise_accel(pos, mu_hi, mu_lo, interpret: bool = False, **tiles):
 
 
 def _accel_kernel3(
-    row0_ref,
-    p0_ref, p1_ref, p2_ref, mu_hi_ref, mu_lo_ref,
-    r0_ref, r1_ref, r2l_ref,
-    out_hi_ref, out_lo_ref,
-    *, n_bodies: int, tile_rows: int, tile_cols: int,
+    *refs,
+    n_bodies: int, tile_rows: int, tile_cols: int, with_row0: bool = False,
 ):
+    if with_row0:
+        row0_ref = refs[0]
+        refs = refs[1:]
+    (p0_ref, p1_ref, p2_ref, mu_hi_ref, mu_lo_ref,
+     r0_ref, r1_ref, r2l_ref, out_hi_ref, out_lo_ref) = refs
     tr, tc = tile_rows, tile_cols
     n_col_tiles = n_bodies // tc
-    # row0_ref: (1,) i32 SMEM global offset of row 0 (see _accel_kernel)
-    i0 = jax.lax.add(
-        jax.lax.mul(pl.program_id(0), jnp.int32(tr)), row0_ref[0]
-    )
+    # optional (1,) i32 SMEM global offset of row 0 (see _accel_kernel:
+    # omitted entirely on the unsharded square path — the read costs ~4%)
+    i0 = jax.lax.mul(pl.program_id(0), jnp.int32(tr))
+    if with_row0:
+        i0 = jax.lax.add(i0, row0_ref[0])
     row_ids = jax.lax.add(jax.lax.broadcasted_iota(jnp.int32, (tr, 1), 0), i0)
 
     rows0 = r0_ref[:, :]  # (TR, 3) limb arrays, rows in sublanes
@@ -458,10 +467,9 @@ def pairwise_accel_limbs_pair(
     the emulated-f64 combine/re-split round trip.
     """
     n = l0.shape[0]
-    row0 = jnp.zeros((1,), jnp.int32)
     lane = [x.T for x in (l0, l1, l2)]  # (3, N) lane-major views
     return _pallas_accel3_rect(
-        lane[0], lane[1], lane[2], mu_hi, mu_lo, l0, l1, l2, row0,
+        lane[0], lane[1], lane[2], mu_hi, mu_lo, l0, l1, l2, None,
         tile_rows=tile_rows, tile_cols=tile_cols, interpret=interpret,
     )
 
@@ -502,16 +510,19 @@ def _pallas_accel3_rect(
     tile_rows = min(tile_rows, nl)
     assert nl % tile_rows == 0 and n % tile_cols == 0
 
+    with_row0 = row0 is not None
     kernel = partial(
-        _accel_kernel3, n_bodies=n, tile_rows=tile_rows, tile_cols=tile_cols
+        _accel_kernel3, n_bodies=n, tile_rows=tile_rows, tile_cols=tile_cols,
+        with_row0=with_row0,
     )
     grid = (nl // tile_rows,)
+    row0_spec = [pl.BlockSpec(memory_space=pltpu.SMEM)] if with_row0 else []
+    row0_arg = (row0,) if with_row0 else ()
     with jax.enable_x64(False):
         ah, al = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
+            in_specs=row0_spec + [
                 pl.BlockSpec((3, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((3, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((3, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -530,7 +541,7 @@ def _pallas_accel3_rect(
                 jax.ShapeDtypeStruct((nl, 3), jnp.float32),
             ],
             interpret=interpret,
-        )(row0, p0, p1, p2, mu_hi, mu_lo, r0, r1, r2)
+        )(*row0_arg, p0, p1, p2, mu_hi, mu_lo, r0, r1, r2)
     return ah, al
 
 
@@ -733,7 +744,6 @@ def pairwise_accel_sym(pos, mu_hi, mu_lo, interpret: bool = False, **kw):
 
 
 def _accel_kernel_mixed(
-    row0_ref,
     pos_hi_ref, pos_lo_ref, mu_ref,
     rows_hi_ref, rows_lo_ref,
     out_ref,
@@ -741,9 +751,7 @@ def _accel_kernel_mixed(
 ):
     tr, tc = tile_rows, tile_cols
     n_col_tiles = n_bodies // tc
-    i0 = jax.lax.add(
-        jax.lax.mul(pl.program_id(0), jnp.int32(tr)), row0_ref[0]
-    )
+    i0 = jax.lax.mul(pl.program_id(0), jnp.int32(tr))
     row_ids = jax.lax.add(jax.lax.broadcasted_iota(jnp.int32, (tr, 1), 0), i0)
     rows_hi = rows_hi_ref[:, :]  # (TR, 3)
     rows_lo = rows_lo_ref[:, :]
@@ -795,7 +803,6 @@ def pairwise_accel_mixed(
     tile_rows = min(tile_rows, n)
     assert n % tile_rows == 0 and n % tile_cols == 0
 
-    row0 = jnp.zeros((1,), jnp.int32)
     kernel = partial(
         _accel_kernel_mixed, n_bodies=n, tile_rows=tile_rows, tile_cols=tile_cols
     )
@@ -804,7 +811,6 @@ def pairwise_accel_mixed(
             kernel,
             grid=(n // tile_rows,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((3, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((3, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -816,7 +822,7 @@ def pairwise_accel_mixed(
             ),
             out_shape=jax.ShapeDtypeStruct((n, 3), jnp.float32),
             interpret=interpret,
-        )(row0, pos_hi, pos_lo, mu, pos_hi.T, pos_lo.T)
+        )(pos_hi, pos_lo, mu, pos_hi.T, pos_lo.T)
 
 
 # ---------------------------------------------------------------------------
