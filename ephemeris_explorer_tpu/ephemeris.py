@@ -243,10 +243,17 @@ class Ephemeris:
 
     @property
     def start(self) -> Epoch:
+        """Latest per-body start (bounds = intersection, simulation.rs:109-115).
+
+        An EMPTY system returns the Epoch.ZERO sentinel (so start == end and
+        the span is empty); callers that can see empty systems must check
+        ``bodies`` rather than compare epochs.
+        """
         return max((b.start for b in self.bodies.values()), default=Epoch.ZERO)
 
     @property
     def end(self) -> Epoch:
+        """Earliest per-body end; Epoch.ZERO sentinel when empty (see start)."""
         return min((b.end for b in self.bodies.values()), default=Epoch.ZERO)
 
     def contains(self, t: Epoch | float) -> bool:

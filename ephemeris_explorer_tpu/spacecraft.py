@@ -297,6 +297,10 @@ def propagate(
             full = count >= max_knots
             reached = st2.t >= bound
             stop = (~ok) | full | reached
+            # BOUND_REACHED only comes from adaptive_advance's pre-check
+            # (never mid-loop), so this branch fires solely on a
+            # zero-progress call at the segment bound — still DONE_END,
+            # not an error
             reason = jnp.where(
                 full, DONE_KNOTS_FULL,
                 jnp.where(ok | (status == adaptive.BOUND_REACHED), DONE_END, DONE_ERROR),

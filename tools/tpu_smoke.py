@@ -1,0 +1,149 @@
+"""Real-Mosaic shard_map smoke: the production sharded compositions on TPU.
+
+The CI suite validates the sharded scans bitwise on a virtual CPU mesh in
+Pallas interpret mode (tests/test_sharding.py); this tool runs the SAME
+compositions with real compiled Mosaic kernels inside `jax.shard_map` on
+the actual TPU chip — a 1-device mesh, so the collectives are trivial but
+the full production lowering (shard_map partitioning x Pallas custom
+calls x scan) compiles and executes.  Each sharded result is checked
+bitwise against the corresponding unsharded real-Mosaic engine.
+
+This is the closest de-risking of the multi-chip path available on a
+single-chip box; run it unchanged on a real pod slice (bump data/model in
+`make_mesh`) when hardware appears.
+
+Usage: python tools/tpu_smoke.py   (prints one PASS line per composition)
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _cluster(n, seed=0, e=None):
+    rng = np.random.default_rng(seed)
+    shape = (n, 3) if e is None else (e, n, 3)
+    pos = rng.normal(size=shape) * 1.0e6
+    vel = rng.normal(size=shape)
+    mu = rng.uniform(1.0e3, 1.0e5, size=n)
+    return pos, vel, mu
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from ephemeris_explorer_tpu.integrators import get
+    from ephemeris_explorer_tpu.integrators.multistep import (
+        elm2_f_from, elm2_init, elm2_init_q, elm2_qf_from_q, elm2_step_f,
+        elm2_step_qf, elm2_velocity_f, elm2_velocity_qf,
+    )
+    from ephemeris_explorer_tpu.ops import nbody
+    from ephemeris_explorer_tpu.ops.eft import TwoFloat
+    from ephemeris_explorer_tpu.ops.pallas_nbody import (
+        pairwise_accel_df64, pairwise_accel_limbs_pair, split_f64,
+    )
+    from ephemeris_explorer_tpu.parallel import sharding as sh
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        print("tpu_smoke: no TPU backend — nothing to smoke", file=sys.stderr)
+        return 1
+
+    tab = get("QuinlanTremaine12")
+    h = 600.0
+    steps = 8
+    n = 256
+    tiles = dict(tile_rows=128, tile_cols=256)
+    mesh = sh.make_mesh(data=1, model=1, devices=jax.devices()[:1])
+
+    pos, vel, mu = _cluster(n, seed=11)
+    mu_j = jnp.asarray(mu)
+    mu_hi, mu_lo = split_f64(mu_j.reshape(1, -1))
+    accel64 = lambda t, y: nbody.pairwise_accel(y, mu_j)  # noqa: E731
+
+    # --- N-axis f64-equivalent engine: rowsharded scan vs unsharded fused
+    carry0 = elm2_f_from(
+        elm2_init(tab, accel64, 0.0, jnp.asarray(pos), jnp.asarray(vel), h)
+    )
+
+    def accel_pair(t, y):
+        ah, al = pairwise_accel_df64(y.hi.T, y.lo.T, mu_hi, mu_lo, **tiles)
+        return TwoFloat(ah, al)
+
+    @jax.jit
+    def ref_f(c):
+        for _ in range(steps):
+            c = elm2_step_f(tab, accel_pair, h, c)
+        return c._replace(dy=elm2_velocity_f(tab, c, h))
+
+    ref = ref_f(carry0)
+    run_row, _ = sh.make_rowsharded_scan_f(mesh, tab, mu, h, steps, **tiles)
+    out = run_row(carry0)
+    np.testing.assert_array_equal(np.asarray(out.ys.hi), np.asarray(ref.ys.hi))
+    np.testing.assert_array_equal(np.asarray(out.ys.lo), np.asarray(ref.ys.lo))
+    np.testing.assert_array_equal(np.asarray(out.dd.hi), np.asarray(ref.dd.hi))
+    np.testing.assert_allclose(
+        np.asarray(out.dy), np.asarray(ref.dy), rtol=1e-14, atol=0
+    )
+    print(f"PASS rowsharded_scan_f    (N={n}, {steps} steps, real Mosaic x shard_map, bitwise vs unsharded)")
+
+    # --- N-axis PARITY engine: rowsharded 4-limb/3-limb scan
+    carry0q = elm2_qf_from_q(
+        elm2_init_q(tab, accel64, 0.0, jnp.asarray(pos), jnp.asarray(vel), h)
+    )
+
+    def accel_pair3(t, limbs):
+        return pairwise_accel_limbs_pair(
+            limbs[0], limbs[1], limbs[2], mu_hi, mu_lo, **tiles
+        )
+
+    @jax.jit
+    def ref_qf(c):
+        for _ in range(steps):
+            c = elm2_step_qf(tab, accel_pair3, h, c)
+        return c._replace(dy=elm2_velocity_qf(tab, c, h))
+
+    refq = ref_qf(carry0q)
+    run_rowq, _ = sh.make_rowsharded_scan_qf(mesh, tab, mu, h, steps, **tiles)
+    outq = run_rowq(carry0q)
+    for k in range(4):
+        np.testing.assert_array_equal(np.asarray(outq.ys[k]), np.asarray(refq.ys[k]))
+    np.testing.assert_array_equal(np.asarray(outq.dd.hi), np.asarray(refq.dd.hi))
+    # dy is reconstructed in plain f64 at the chunk boundary; on the
+    # emulated-f64 TPU backend XLA contracts the (y0-y1)/h + c*wsum chain
+    # with different FMA groupings inside vs outside shard_map — a few ULP
+    # on dy only, the rings above stay bitwise
+    np.testing.assert_allclose(
+        np.asarray(outq.dy), np.asarray(refq.dy), rtol=1e-14, atol=0
+    )
+    print(f"PASS rowsharded_scan_qf   (N={n}, {steps} steps, parity engine, bitwise vs unsharded)")
+
+    # --- ensemble (data) axis: shard_map x fused pair-native scan
+    e = 2
+    epos, evel, emu = _cluster(n, seed=13, e=e)
+    carry0e = sh.init_fused_ensemble_carry(tab, emu, 0.0, epos, evel, h)
+    run_f, to_f = sh.make_fused_ensemble_scan_f(tab, emu, h, steps, **tiles)
+    ref_e = run_f(to_f(carry0e))
+    run_sm, to_f2 = sh.make_shardmap_ensemble_scan_f(
+        mesh, tab, emu, h, steps, **tiles
+    )
+    out_e = run_sm(to_f2(carry0e))
+    np.testing.assert_array_equal(
+        np.asarray(out_e.ys.hi), np.asarray(ref_e.ys.hi)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_e.ys.lo), np.asarray(ref_e.ys.lo)
+    )
+    print(f"PASS shardmap_ensemble_f  (E={e} x N={n}, {steps} steps, bitwise vs fused single-program)")
+
+    print("tpu_smoke: all production shard_map x Mosaic compositions OK")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
