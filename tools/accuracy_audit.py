@@ -189,12 +189,17 @@ def audit(
     dt: float | None = None,
     verbose: bool = True,
     truth: str = "dd",
+    traj_cache: str | None = None,
 ) -> dict:
     """Integrate truth + candidate modes; return per-checkpoint max errors.
 
     ``truth`` picks the oracle: "dd" (double-double state, plain-f64 force —
     the reference's Double<T> recipe) or "ddf" (dd state AND dd force,
     ~2^-106 throughout; measures the dd truth's own force-rounding floor).
+    ``traj_cache``: directory to persist each mode's checkpoint trajectory
+    (.npy keyed by scene/dt/steps/checkpoints/mode) — the CPU truth runs
+    cost hours at multi-year spans; caching lets later comparisons reuse
+    them.
     Returns {mode: [(sim_days, max_err_km_all, max_err_km_planets), ...]}.
     """
     sc = scene.load_scene(REPO / "systems" / scene_name)
@@ -212,6 +217,17 @@ def audit(
 
     runs = {}
     for mode in [truth] + modes:
+        cache_f = None
+        if traj_cache:
+            from pathlib import Path as _P
+
+            key = f"{scene_name}_h{h:g}_s{total_steps}_c{checkpoints}_{mode}.npy"
+            cache_f = _P(traj_cache) / key
+            if cache_f.exists():
+                runs[mode] = np.load(cache_f)
+                if verbose:
+                    print(f"  [{mode}] loaded from cache {cache_f}", file=sys.stderr)
+                continue
         device = cpu if mode in ("dd", "ddf", "ref64") else default
         t_start = time.time()
         carry, run_chunk, extract = _chunk_runner(
@@ -231,6 +247,9 @@ def audit(
                     file=sys.stderr,
                 )
         runs[mode] = np.stack(traj)  # (n_chunks, N, 3)
+        if cache_f is not None:
+            cache_f.parent.mkdir(parents=True, exist_ok=True)
+            np.save(cache_f, runs[mode])
 
     truth_traj = runs.pop(truth)
     out = {}
@@ -327,6 +346,10 @@ def main(argv=None) -> int:
         "--truth", choices=("dd", "ddf"), default="dd",
         help="dd: dd state + f64 force (reference recipe); ddf: dd force too",
     )
+    p.add_argument(
+        "--traj-cache", default=None,
+        help="directory to persist/reuse per-mode checkpoint trajectories",
+    )
     p.add_argument("--csv", default=None)
     p.add_argument("--json", dest="json_out", default=None)
     p.add_argument("--oracle", action="store_true", help="76-year real-JPL endpoint check")
@@ -355,7 +378,7 @@ def main(argv=None) -> int:
 
     res = audit(
         args.scene, total_steps, args.checkpoints, modes, dt=args.dt,
-        truth=args.truth,
+        truth=args.truth, traj_cache=args.traj_cache,
     )
 
     tdesc = "dd128(QT12,cpu)" if args.truth == "dd" else "dd128+ddforce(QT12,cpu)"
