@@ -1,0 +1,248 @@
+"""Hypothesis property tests for the time scalars, the fit, and the spline
+edge rules.
+
+These complement the seeded-random sweeps in ``test_property.py`` with
+shrinking adversarial search over the invariants the reference encodes
+structurally:
+
+* civil-date math is its own inverse (ftime/src/epoch.rs:266-290, Hinnant);
+* ``Epoch``/``Duration`` parse/format round-trip at millisecond granularity
+  (epoch.rs:155-249, duration.rs:217-345);
+* the batched least-squares fit is EXACT on polynomials of the fitted degree
+  (celestial.rs:19-136 solves the same LSQ problem);
+* ``UniformSpline`` end-inclusive indexing matches the literal
+  trajectory.rs:552-617 rule for arbitrary (start, interval) geometry;
+* ``Timeline`` stays gap-free under adversarial burn layouts, including
+  zero-gap adjacency (spacecraft.rs:119-222).
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from ephemeris_explorer_tpu.ftime import (
+    Duration,
+    Epoch,
+    civil_from_days,
+    days_from_civil,
+)
+from ephemeris_explorer_tpu.ephemeris import BodyEphemeris
+from ephemeris_explorer_tpu.io.scene import ShipBurn
+from ephemeris_explorer_tpu.ops import polyfit
+from ephemeris_explorer_tpu.spacecraft import (
+    EPOCH_MAX,
+    EPOCH_MIN,
+    build_timeline,
+    segment_idx_at,
+)
+
+COMMON = settings(max_examples=200, deadline=None)
+
+
+# ---------------------------------------------------------------------------
+# ftime
+# ---------------------------------------------------------------------------
+
+
+@COMMON
+@given(st.integers(min_value=-1_000_000, max_value=3_000_000))
+def test_civil_days_roundtrip(z):
+    y, m, d = civil_from_days(z)
+    assert days_from_civil(y, m, d) == z
+    assert 1 <= m <= 12 and 1 <= d <= 31
+
+
+@COMMON
+@given(
+    st.integers(min_value=1, max_value=9999),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=31),
+    st.integers(min_value=0, max_value=23),
+    st.integers(min_value=0, max_value=59),
+    st.integers(min_value=0, max_value=59),
+    st.integers(min_value=0, max_value=999),
+)
+def test_epoch_format_parse_roundtrip(y, mo, d, h, mi, s, ms):
+    try:
+        e = Epoch.from_datetime(y, mo, d, h, mi, s, ms)
+    except Exception:
+        # invalid civil date (e.g. Feb 30) — ctor must reject, nothing to test
+        return
+    e2 = Epoch.parse(str(e))
+    # str() carries millisecond resolution; the epoch is ms-quantised already
+    assert abs(e2.offset - e.offset) < 5e-4, (str(e), e.offset, e2.offset)
+
+
+@COMMON
+@given(st.integers(min_value=-(2**53), max_value=2**53))
+def test_epoch_ms_quantised_str_parse_identity(total_ms):
+    """Any ms-quantised offset round-trips to the same millisecond.
+
+    NOT bitwise: ``from_datetime`` reconstructs ``days*86400 + sod + ms/1e3``,
+    which rounds differently than the original float near day boundaries
+    (e.g. -0.001 -> -1.0 + 0.999) — the reference's f64 arithmetic
+    (epoch.rs:52-60) has the identical property, so the invariant is
+    millisecond agreement + formatting idempotence.
+    """
+    e = Epoch.from_offset_seconds(total_ms * 1e-3)
+    # formatting needs a representable civil year (format is %04d)
+    y = civil_from_days(int(np.floor(e.offset / 86400.0)) - 4383)[0]
+    if not (1 <= y <= 9999):
+        return
+    s = str(e)
+    e2 = Epoch.parse(s)
+    assert abs(e2.offset - e.offset) <= 5e-4 + 1e-9 * abs(e.offset)
+    assert str(e2) == s
+
+
+@COMMON
+@given(st.integers(min_value=0, max_value=10**15))
+def test_duration_format_parse_roundtrip(total_ms):
+    d = Duration(total_ms * 1e-3)
+    assert Duration.parse(str(d)).seconds == d.seconds
+    dn = Duration(-total_ms * 1e-3)
+    assert Duration.parse(str(dn)).seconds == dn.seconds
+
+
+@COMMON
+@given(
+    st.floats(min_value=-1e12, max_value=1e12, allow_nan=False),
+    st.floats(min_value=1e-3, max_value=1e6, allow_nan=False),
+)
+def test_duration_floor_round_properties(sec, to):
+    d, t = Duration(sec), Duration(to)
+    f = d.floor(t)
+    # floor: integer multiple of `to`, within one `to` below (fp-tolerant)
+    k = f.seconds / to
+    assert abs(k - round(k)) < 1e-6 * max(1.0, abs(k))
+    assert f.seconds <= d.seconds + 1e-9 * max(1.0, abs(sec))
+    assert d.seconds - f.seconds < to * (1 + 1e-9)
+    r = d.round(t)
+    # round: within to/2 of the original (half-away-from-zero at the midpoint)
+    assert abs(r.seconds - d.seconds) <= to / 2 * (1 + 1e-9) + 1e-9 * abs(sec)
+
+
+# ---------------------------------------------------------------------------
+# least-squares fit
+# ---------------------------------------------------------------------------
+
+
+@COMMON
+@given(
+    st.integers(min_value=1, max_value=8),
+    st.lists(
+        st.floats(min_value=-1e3, max_value=1e3, allow_nan=False),
+        min_size=9,
+        max_size=9,
+    ),
+    st.booleans(),
+)
+def test_fit_exact_on_polynomials(degree, raw_coeffs, backward):
+    """Fitting samples OF a degree-d polynomial returns that polynomial."""
+    true_c = np.zeros(polyfit.MAX_COEFFS)
+    true_c[: degree + 1] = raw_coeffs[: degree + 1]
+    taus = polyfit.sample_taus(backward=backward)
+    samples = np.polyval(true_c[::-1], taus)  # (9,)
+    m = polyfit.fit_matrix(degree, backward=backward)
+    got = m @ samples
+    scale = max(1.0, np.abs(true_c).max())
+    np.testing.assert_allclose(got, true_c, atol=5e-9 * scale, rtol=0)
+
+
+@COMMON
+@given(
+    st.lists(
+        st.floats(min_value=-1e3, max_value=1e3, allow_nan=False),
+        min_size=9,
+        max_size=9,
+    ),
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+def test_horner_matches_polyval(coeffs, tau):
+    c = np.asarray(coeffs)
+    got = np.asarray(polyfit.horner(c[:, None].repeat(3, axis=1), tau))
+    want = np.polyval(c[::-1], tau)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# spline edge rules
+# ---------------------------------------------------------------------------
+
+
+def _literal_eval(b: BodyEphemeris, t: float):
+    """trajectory.rs:552-617, transcribed independently of the implementation."""
+    local = t - b.start_s
+    n = b.segment_count
+    if local < 0.0 or local > b.interval_s * n:
+        return None
+    idx = min(max(int(np.ceil(local / b.interval_s)) - 1, 0), n - 1)
+    tau = (local - b.interval_s * idx) / b.interval_s
+    out = np.zeros(3)
+    for k in range(polyfit.MAX_COEFFS - 1, -1, -1):
+        out = out * tau + b.coeffs[idx][k]
+    return out
+
+
+@COMMON
+@given(
+    st.floats(min_value=-1e8, max_value=1e8, allow_nan=False),
+    st.floats(min_value=1e-2, max_value=1e6, allow_nan=False),
+    st.integers(min_value=1, max_value=6),
+    st.floats(min_value=-0.5, max_value=1.5, allow_nan=False),
+)
+def test_spline_indexing_literal_rule(start, interval, nseg, frac):
+    rng = np.random.default_rng(abs(hash((round(start, 3), nseg))) % 2**32)
+    b = BodyEphemeris(
+        start_s=start,
+        interval_s=interval,
+        coeffs=rng.normal(size=(nseg, polyfit.MAX_COEFFS, 3)),
+    )
+    # probe at an arbitrary fraction of the span, including out-of-range
+    t = start + frac * nseg * interval
+    want, got = _literal_eval(b, t), b.position(t)
+    if want is None or got is None:
+        assert want is None and got is None, (t, frac)
+    else:
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# timeline algebra
+# ---------------------------------------------------------------------------
+
+
+@COMMON
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-1e5, max_value=1e5, allow_nan=False),
+            st.floats(min_value=1e-3, max_value=1e4, allow_nan=False),
+            st.booleans(),  # make this burn START exactly at the previous END
+        ),
+        min_size=0,
+        max_size=6,
+    )
+)
+def test_timeline_gap_free_adversarial(raw):
+    burns, prev_end = [], None
+    for start, dur, glue in sorted(raw, key=lambda r: r[0]):
+        s = prev_end if (glue and prev_end is not None) else start
+        if prev_end is not None and s < prev_end:
+            s = prev_end  # keep non-overlapping, allow exact adjacency
+        burns.append(
+            ShipBurn(
+                start=Epoch.from_offset_seconds(float(s)),
+                duration=Duration.from_seconds(float(dur)),
+                acceleration=np.array([1e-3, 0.0, 0.0]),
+                reference=None,
+            )
+        )
+        prev_end = s + dur
+    tl = build_timeline(burns, {})
+    starts, ends = np.asarray(tl.starts), np.asarray(tl.ends)
+    assert starts[0] == EPOCH_MIN and ends[-1] == EPOCH_MAX
+    np.testing.assert_array_equal(starts[1:], ends[:-1])
+    assert np.all(ends >= starts)
+    for s in starts[1:-1]:
+        i = int(segment_idx_at(tl, float(s)))
+        assert starts[i] <= s < ends[i]
