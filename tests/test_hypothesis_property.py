@@ -207,6 +207,107 @@ def test_spline_indexing_literal_rule(start, interval, nseg, frac):
 
 
 # ---------------------------------------------------------------------------
+# cubic-Hermite trajectory (trajectory.rs:635-855)
+# ---------------------------------------------------------------------------
+
+
+def _hermite_traj(ts, rng):
+    from ephemeris_explorer_tpu.spacecraft import HermiteTrajectory
+
+    k = len(ts)
+    return HermiteTrajectory(
+        ts=np.asarray(ts, dtype=np.float64),
+        pos=rng.normal(size=(k, 3)),
+        vel=rng.normal(size=(k, 3)),
+    )
+
+
+@st.composite
+def knot_times(draw, min_knots=2, max_knots=8):
+    start = draw(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False))
+    gaps = draw(
+        st.lists(
+            st.floats(min_value=1e-2, max_value=1e4, allow_nan=False),
+            min_size=min_knots - 1,
+            max_size=max_knots - 1,
+        )
+    )
+    return start + np.concatenate([[0.0], np.cumsum(gaps)])
+
+
+@COMMON
+@given(knot_times(), st.integers(min_value=0, max_value=2**31 - 1))
+def test_hermite_knot_rules(ts, seed):
+    traj = _hermite_traj(ts, np.random.default_rng(seed))
+    k = len(ts)
+    for i in range(k):
+        np.testing.assert_array_equal(traj.position(float(ts[i])), traj.pos[i])
+        p, v = traj.get(float(ts[i]))
+        np.testing.assert_array_equal(p, traj.pos[i])
+        np.testing.assert_array_equal(v, traj.vel[i])
+    # strictly outside -> None; get() at a non-knot -> None
+    span = ts[-1] - ts[0]
+    assert traj.position(float(ts[0] - 0.1 * span - 1.0)) is None
+    assert traj.position(float(ts[-1] + 0.1 * span + 1.0)) is None
+    mid = float(0.5 * (ts[0] + ts[1]))
+    if mid not in ts:
+        assert traj.get(mid) is None
+
+
+@COMMON
+@given(
+    knot_times(),
+    st.lists(
+        st.floats(min_value=-2.0, max_value=2.0, allow_nan=False),
+        min_size=12,
+        max_size=12,
+    ),
+    st.floats(min_value=1e-4, max_value=1.0 - 1e-4, allow_nan=False),
+)
+def test_hermite_exact_on_cubics(ts, raw, frac):
+    """Knots sampled from a true cubic (matching derivatives) reproduce it."""
+    from ephemeris_explorer_tpu.spacecraft import HermiteTrajectory
+
+    c = np.asarray(raw).reshape(4, 3)  # cubic coeffs per component
+    # scale time into the unit-ish range so x**3 stays conditioned
+    t0, t1 = ts[0], ts[-1]
+    u = (np.asarray(ts) - t0) / (t1 - t0)
+    pos = ((c[3] * u[:, None] + c[2]) * u[:, None] + c[1]) * u[:, None] + c[0]
+    vel = ((3 * c[3] * u[:, None] + 2 * c[2]) * u[:, None] + c[1]) / (t1 - t0)
+    traj = HermiteTrajectory(ts=np.asarray(ts, float), pos=pos, vel=vel)
+    for i in range(len(ts) - 1):
+        t = float(ts[i] + frac * (ts[i + 1] - ts[i]))
+        uu = (t - t0) / (t1 - t0)
+        want = ((c[3] * uu + c[2]) * uu + c[1]) * uu + c[0]
+        got, dgot = traj.state_vector(t)
+        np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-7)
+        wantd = ((3 * c[3] * uu + 2 * c[2]) * uu + c[1]) / (t1 - t0)
+        np.testing.assert_allclose(dgot, wantd, rtol=1e-5, atol=1e-5)
+
+
+@COMMON
+@given(
+    knot_times(min_knots=3, max_knots=8),
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+def test_hermite_join_algebra(ts, seed, cut_frac):
+    """join = clear_after(other.start) + extend (spacecraft.rs:557-561):
+    the result keeps exactly the knots strictly before other's start, then
+    other's knots; time order is preserved."""
+    rng = np.random.default_rng(seed)
+    traj = _hermite_traj(ts, rng)
+    cut = float(ts[0] + cut_frac * (ts[-1] - ts[0]))
+    other = _hermite_traj(cut + np.array([0.0, 1.0, 2.0]), rng)
+    expect_kept = traj.ts[traj.ts < cut]
+    traj.join(other)
+    assert len(traj.ts) == len(expect_kept) + 3
+    np.testing.assert_array_equal(traj.ts[: len(expect_kept)], expect_kept)
+    np.testing.assert_array_equal(traj.ts[len(expect_kept):], other.ts)
+    assert np.all(np.diff(traj.ts) > 0)
+
+
+# ---------------------------------------------------------------------------
 # timeline algebra
 # ---------------------------------------------------------------------------
 
