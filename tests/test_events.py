@@ -201,3 +201,62 @@ def test_segment_burn_subdivision():
     assert [s.burn for s in segs] == [False, True, False]
     assert "Burn" in segs[1].name
     assert segs[1].start == 100.0 and segs[1].end == 150.0
+
+
+def test_apsis_times_match_kepler_closed_form():
+    """Apsis epochs/distances vs the two-body closed form.
+
+    A ship on an eccentric Kepler orbit around a lone central body has
+    periapsis passages at t0 + k*T and apoapsides at t0 + (k + 1/2)*T with
+    T = 2*pi*sqrt(a^3/mu); detected events must hit those to sub-second
+    accuracy (bisection precision is 1e-3 s; the integrator and Hermite
+    interpolation own the rest).  Closed-form analogue of the radial-velocity
+    zero crossings in dynamics/spacecraft.rs:566-583.
+    """
+    mu = 398600.4418
+    a, e = 9000.0, 0.35
+    T = 2.0 * np.pi * np.sqrt(a**3 / mu)
+    r_p = a * (1.0 - e)
+    v_p = np.sqrt(mu * (1.0 + e) / (a * (1.0 - e)))
+
+    epoch = Epoch.from_offset_seconds(0.0)
+    state = scene.SolarSystemState(
+        "TwoBody",
+        epoch,
+        [scene.Body("Star", mu, np.zeros(3), np.zeros(3))],
+    )
+    settings = scene.EphemeridesSettings(
+        Duration.from_seconds(600.0),
+        {"Star": scene.InterpolationParameters(degree=6, count=1)},
+    )
+    eph = generate_ephemeris(state, settings, Duration.from_days(1.5))
+    packed = eph.pack()
+    soi = analysis.assign_soi(state)
+
+    n_periods = 3
+    ship = Ship(
+        name="Kepler",
+        integrator="Verner87",
+        tolerance=1e-9,
+        start=epoch,
+        end=Epoch.from_offset_seconds((n_periods + 0.2) * T),
+        position=np.array([r_p, 0.0, 0.0]),
+        velocity=np.array([0.0, v_p, 0.0]),
+    )
+    traj = propagate_ship(eph, ship)
+
+    tr = events.soi_transitions(traj, packed, soi.radii)
+    assert [b for _, b in tr] == [0]
+    aps = events.apsides(traj, packed, tr)
+    assert len(aps) >= 2 * n_periods  # alternating apo/peri over 3 periods
+
+    for ap in aps:
+        k = round((ap.time - epoch.as_offset_seconds()) / (T / 2.0))
+        t_exact = epoch.as_offset_seconds() + k * (T / 2.0)
+        assert abs(ap.time - t_exact) < 0.5, (ap, t_exact)
+        want_peri = k % 2 == 0
+        assert ap.periapsis == want_peri
+        r_exact = r_p if want_peri else a * (1.0 + e)
+        # km: Hermite knots every 600 s put ~1 m of interpolation error at
+        # the periapsis speed; 5 m bounds it with margin
+        assert abs(ap.distance - r_exact) < 5e-3, (ap, r_exact)
