@@ -347,3 +347,102 @@ def test_timeline_gap_free_adversarial(raw):
     for s in starts[1:-1]:
         i = int(segment_idx_at(tl, float(s)))
         assert starts[i] <= s < ends[i]
+
+
+# ---------------------------------------------------------------------------
+# Event containers: SoiTransitions / Apsides algebra
+# (dynamics/spacecraft.rs:302-379, 412-446)
+# ---------------------------------------------------------------------------
+
+_ops = st.lists(
+    st.tuples(
+        st.sampled_from(["insert", "clear_after", "clear_before"]),
+        st.integers(min_value=0, max_value=40),   # time (small grid forces collisions)
+        st.integers(min_value=0, max_value=3),    # body
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(_ops, st.integers(min_value=0, max_value=40))
+@settings(max_examples=300, deadline=None)
+def test_soi_transitions_invariants(ops, probe_t):
+    from ephemeris_explorer_tpu.events import SoiTransitions
+
+    tr = SoiTransitions()
+    for op, t, b in ops:
+        if op == "insert":
+            before = list(tr)
+            tr.insert(float(t), b)
+            # a no-op only when the predecessor carries the same body and
+            # the exact time is absent; a replacement never changes length
+            if (t, b) not in [(int(x), y) for x, y in tr]:
+                assert list(tr) == before  # dedup'd against predecessor
+        elif op == "clear_after":
+            tr.clear_after(float(t))
+            assert all(x <= t for x, _ in tr)
+        else:
+            tr.clear_before(float(t))
+            assert all(x >= t for x, _ in tr)
+        times = [x for x, _ in tr]
+        assert times == sorted(times) and len(set(times)) == len(times)
+
+    # soi_at == naive last-entry-with-time<=t scan
+    naive = None
+    for x, b in tr:
+        if x <= probe_t:
+            naive = b
+    assert tr.soi_at(float(probe_t)) == naive
+
+
+@given(_ops)
+@settings(max_examples=300, deadline=None)
+def test_soi_transitions_extend_is_insert_each(ops):
+    from ephemeris_explorer_tpu.events import SoiTransitions
+
+    inserts = [(float(t), b) for op, t, b in ops if op == "insert"]
+    cut = len(inserts) // 2
+    one = SoiTransitions()
+    for t, b in inserts:
+        one.insert(t, b)
+    two = SoiTransitions()
+    for t, b in inserts[:cut]:
+        two.insert(t, b)
+    two.extend(SoiTransitions(_raw_sorted(inserts[cut:])))
+    # extend == insert-each over the suffix (order preserved by construction)
+    ref = SoiTransitions()
+    for t, b in inserts[:cut]:
+        ref.insert(t, b)
+    for t, b in _raw_sorted(inserts[cut:]):
+        ref.insert(t, b)
+    assert two == ref
+
+
+def _raw_sorted(pairs):
+    """Sorted, exact-time-deduped raw entry list (container precondition)."""
+    out = {}
+    for t, b in pairs:
+        out[t] = b
+    return sorted(out.items())
+
+
+@given(_ops)
+@settings(max_examples=300, deadline=None)
+def test_apsides_invariants(ops):
+    from ephemeris_explorer_tpu.events import Apsides, Apsis
+
+    aps = Apsides()
+    for op, t, b in ops:
+        if op == "insert":
+            n0 = len(aps)
+            existed = any(a.time == float(t) for a in aps)
+            aps.insert(Apsis(float(t), b, 1.0 + t, bool(b % 2)))
+            assert len(aps) == n0 + (0 if existed else 1)  # replace-at-time
+            got = [a for a in aps if a.time == float(t)]
+            assert len(got) == 1 and got[0].body == b
+        elif op == "clear_after":
+            aps.clear_after(float(t))
+            assert all(a.time <= t for a in aps)
+        times = [a.time for a in aps]
+        assert times == sorted(times) and len(set(times)) == len(times)
