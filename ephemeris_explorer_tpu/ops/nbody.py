@@ -88,7 +88,7 @@ def pairwise_accel_dd(pos, mu: jax.Array):
     r^2, rsqrt, mu product, accumulation — runs in ~2^-106 double-double
     arithmetic (ops/eft.py over f64), so the result is the correctly-
     rounded-for-all-practical-purposes real-number force of the f64 model
-    inputs.  Used by the `ddf` truth of tools/accuracy_audit.py to MEASURE
+    inputs.  Intended to MEASURE
     the plain-f64-force truth's own rounding envelope (the reference's
     Double<T> convergence fixture, solar_system_convergence.rs:12-110,
     compensates only the state — its forces are plain f64, like the round-2
@@ -96,6 +96,18 @@ def pairwise_accel_dd(pos, mu: jax.Array):
 
     pos: TwoFloat of (N, 3) f64; mu: (N,) plain f64 (model inputs, exact).
     Returns a TwoFloat of (N, 3).  CPU-oriented (small N); O(N^2) temps.
+
+    .. warning:: MEASURED HAZARD on XLA:CPU (this jaxlib): (1) jitting this
+       function flat — or inside a plain scan body — compiles for >60 min
+       / >28 GB RSS (LLVM-side pathology; only scan-wrapped *startup*-sized
+       graphs compile), and (2) the code XLA:CPU does emit for the full
+       composition silently loses the compensation of the PRODUCT chains:
+       end-to-end force comes out ~1e-15 relative (plain-f64 grade) vs the
+       f128 oracle, although every EFT primitive compiles exactly in
+       isolation.  The production truth path therefore lives in
+       ephemeris_explorer_tpu/truth_np.py (pure numpy, verified ~3e-19,
+       f128-oracle-limited); this jnp variant is kept for backends where
+       the emitted arithmetic can be re-validated first.
     """
     from . import eft
     from .eft import TwoFloat

@@ -117,13 +117,27 @@ def _chunk_runner(
             extract = lambda c: np.asarray(c.ys.hi[0]) + np.asarray(c.ys.lo[0])  # noqa: E731
         elif mode == "ddf":
             # dd state AND dd force: the truth-grade variant that measures
-            # the `dd` truth's own f64-force rounding envelope
-            def accel_dd(t, y):
-                return nbody.pairwise_accel_dd(y, mu)
+            # the `dd` truth's own f64-force rounding envelope.  Runs in PURE
+            # NUMPY (truth_np), startup included: XLA:CPU cannot compile the
+            # flat jitted dd-force graph in practical time/memory AND the
+            # compiled composition silently degrades the dd force to f64
+            # grade (~1e-15 rel vs the f128 oracle; numpy holds ~3e-19 —
+            # see the truth_np module docstring for both measurements).
+            from ephemeris_explorer_tpu import truth_np
 
-            carry = multistep.elm2_init_cf(tab, accel_dd, t0, pos, vel, h)
-            step = lambda c: multistep.elm2_step_cf(tab, accel_dd, h, c)  # noqa: E731
-            extract = lambda c: np.asarray(c.ys.hi[0]) + np.asarray(c.ys.lo[0])  # noqa: E731
+            mu_np = np.asarray(mu, dtype=np.float64)
+            carry = truth_np.elm2_init(
+                tab, mu_np, float(t0), np.asarray(pos, np.float64),
+                np.asarray(vel, np.float64), h,
+            )
+            extract = lambda c: c.ys.hi[0] + c.ys.lo[0]  # noqa: E731
+
+            def run_chunk_np(c):
+                for _ in range(chunk_steps):
+                    c = truth_np.elm2_step(tab, mu_np, h, c)
+                return c
+
+            return carry, run_chunk_np, extract
         elif mode in ("ref64", "plain"):
             carry = multistep.elm2_init(tab, accel, t0, pos, vel, h)
             step = lambda c: multistep.elm2_step(tab, accel, h, c)  # noqa: E731
