@@ -365,6 +365,16 @@ def elm2_step_c(tab: ELMTableau, accel, h, carry: ELM2CarryC) -> ELM2CarryC:
 # Coefficients stay the engines' f64 values (exact TwoFloat-by-float
 # products), so coefficient-representation differences cancel in every
 # truth-vs-candidate comparison.
+#
+# MEASURED HAZARD: do NOT run this variant jit-compiled on XLA:CPU — the
+# flat dd-force graph takes >60 min / >28 GB to compile, and the code that
+# IS emitted silently degrades the product-chain compensation to plain-f64
+# grade (~1e-15 rel vs a float128 oracle; every EFT primitive alone
+# compiles exactly).  The production truth path is the pure-numpy mirror in
+# ephemeris_explorer_tpu/truth_np.py (verified ~3e-19, f128-limited); the
+# jnp variant here is retained as the algorithm-of-record for backends
+# whose emitted arithmetic is re-validated first (tests/test_truth_np.py
+# pins the update chain bitwise against the numpy twin).
 
 
 class ELM2CarryDD(NamedTuple):
