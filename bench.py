@@ -211,6 +211,10 @@ def bench_parity() -> dict:
     def accel_pair(t, limbs):
         return pairwise_accel_limbs_pair(limbs[0], limbs[1], limbs[2], mu_hi, mu_lo)
 
+    def accel_limbs(t, limbs):
+        fh, fl = accel_pair(t, limbs)
+        return fh.astype(jnp.float64) + fl.astype(jnp.float64)
+
     @jax.jit
     def chunk(carry):
         def body(c, _):
@@ -222,7 +226,11 @@ def bench_parity() -> dict:
         return c._replace(dy=elm2_velocity_qfp(tab, c, h, shape))
 
     init = jax.jit(
-        lambda p, v: elm2_qfp_from(elm2_qf_from_q(elm2_init_q(tab, accel, 0.0, p, v, h)))
+        lambda p, v: elm2_qfp_from(
+            elm2_qf_from_q(
+                elm2_init_q(tab, accel, 0.0, p, v, h, accel_limbs=accel_limbs)
+            )
+        )
     )
     carry = init(jnp.asarray(pos), jnp.asarray(vel))
     carry = chunk(carry)

@@ -504,6 +504,11 @@ class NBodyPropagator:
         self._n_steps_done = 0
         self._chunk_fns: dict = {}
         self._init_state = (jnp.asarray(state.positions()), jnp.asarray(state.velocities()))
+        # exact host-side limb split of the initial positions: shipping the
+        # f64 array above rounds it to the emulated-f64 pair (~2^-49 of the
+        # heliocentric radius), a µm-scale IC perturbation that becomes a
+        # secular m/yr moon drift (from_f64_host docstring; docs/ACCURACY.md)
+        self._init_limbs = ex.from_f64_host(state.positions())
 
     # -- bookkeeping -----------------------------------------------------
     @property
@@ -560,6 +565,7 @@ class NBodyPropagator:
             self._carry,
             init_y,
             init_dy,
+            self._init_limbs,
             jnp.asarray(self.t0_s, jnp.float64),
             jnp.asarray(n0, jnp.int64),
             out,
@@ -621,7 +627,7 @@ def _chunk_fn(spec: "GenSpec", precision: str, n_scan: int, startup: bool, n_new
 
         pert = _perts.build(spec.perturbations)
 
-    def chunk(mu, carry: GenCarry | None, init_y, init_dy, t0, n0, out):
+    def chunk(mu, carry: GenCarry | None, init_y, init_dy, init_limbs, t0, n0, out):
         if pert is None:
             def accel(t, y):
                 return nbody.pairwise_accel(y, mu)
@@ -667,7 +673,13 @@ def _chunk_fn(spec: "GenSpec", precision: str, n_scan: int, startup: bool, n_new
             ring0 = ring0.at[:, 0].set(init_y)  # sample k=0 = initial position
             samp = SampleState(ring=ring0, n=jnp.asarray(0, jnp.int64))
             if extended:
-                ms = elm2_init_q(tab, accel, t0, init_y, init_dy, h)
+                # limb-aware startup (the starter sees the same limb force
+                # as the main scan) from the EXACT host-split initial limbs
+                # (elm2_init_q docstring; measured in docs/ACCURACY.md)
+                ms = elm2_init_q(
+                    tab, accel, t0, init_y, init_dy, h,
+                    accel_limbs=accel_limbs, y0_limbs=init_limbs,
+                )
                 startup_ys = ex.to_f64(tuple(l[::-1] for l in ms.ys))
             else:
                 from .integrators.multistep import elm2_startup_scan
@@ -787,7 +799,7 @@ def _chunk_fn(spec: "GenSpec", precision: str, n_scan: int, startup: bool, n_new
         samp = SampleState(ring=ring, n=carry.samp.n + all_ys.shape[0])
         return GenCarry(ms=ms, samp=samp), out
 
-    fn = jax.jit(chunk, donate_argnums=(6,))
+    fn = jax.jit(chunk, donate_argnums=(7,))
     _CHUNK_FN_CACHE[key] = fn
     return fn
 

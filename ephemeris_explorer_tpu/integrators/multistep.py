@@ -501,20 +501,23 @@ def _exp_wsum_alpha(c_y, ys: tuple) -> tuple:
     return acc
 
 
-def _srkn_step_q(tab, accel, t, y: tuple, dy, h, ddy0):
+def _srkn_step_q(tab, accel_q, t, y: tuple, dy, h, ddy0):
     """Symplectic kick-drift startup step: y as f32 expansion, dy in base f64.
 
     The drift increment dy*(h*A) is computed in base precision (relative
     2^-48 of a ~km-scale increment) and expansion-added, so the POSITION
     never gets rounded to base precision - that rounding (0.5 m/step) was
     measured to dominate the year-scale drift via startup period errors.
+
+    ``accel_q(t, y_expansion, dy)`` evaluates the force directly from the
+    expansion position (limb-aware when the caller has a limb kernel).
     """
     ddy = None
     for s in range(tab.stages):
         if s == 0 and tab.fsal and ddy0 is not None:
             ddy = ddy0
         else:
-            ddy = eval_accel(accel, t + h * tab.c[s], ex.to_f64(y), dy)
+            ddy = accel_q(t + h * tab.c[s], y, dy)
         if tab.b[s] != 0.0:
             dy = dy + ddy * (h * tab.b[s])
         if tab.a[s] != 0.0:
@@ -522,31 +525,68 @@ def _srkn_step_q(tab, accel, t, y: tuple, dy, h, ddy0):
     return t + h, y, dy, ddy
 
 
-def elm2_init_q(tab: ELMTableau, accel, t0, y0, dy0, h) -> ELM2CarryQ:
-    """Expansion-state startup: starter sub-steps with expansion positions."""
+def elm2_init_q(
+    tab: ELMTableau, accel, t0, y0, dy0, h, accel_limbs=None, y0_limbs=None
+) -> ELM2CarryQ:
+    """Expansion-state startup: starter sub-steps with expansion positions.
+
+    ``y0_limbs`` (a K-tuple of f32 limb arrays, e.g. from
+    :func:`ops.expansion.from_f64_host`) supplies the initial position
+    EXACTLY.  Without it the startup lifts ``y0`` with ``ex.from_f64``,
+    which on TPU sees the emulated-f64 TRANSFER rounding of the host
+    value (~2^-49 relative of the heliocentric radius) — a few-µm initial
+    condition error that becomes a secular ~m/yr along-track drift of
+    close moons (measured in docs/ACCURACY.md round 3).  Callers whose
+    initial state originates in host f64 should always pass ``y0_limbs``.
+
+    When ``accel_limbs(t, (l0, l1, l2)[, dy])`` is given (the same limb
+    kernel the main scan uses), every startup force evaluation sees the
+    three leading limbs instead of the f64-rounded position.  Rounding the
+    position before the force costs ~1e-10 relative pair-force error on
+    close moon pairs (0.5 mm of 1e8-km coordinates against ~1e4-km
+    separations); through the ~ORDER*substeps startup evaluations that
+    seeds a period error of the same relative size, which is exactly the
+    measured 5.6 m/yr linear phase drift of the fastest moons vs the
+    2^-106 ddf truth (docs/ACCURACY.md).  Limb-aware startup removes it.
+    """
     starter = get(tab.starter)
     hs = h / tab.substeps
     t0 = jnp.asarray(t0, jnp.float64)
-    y = ex.from_f64(jnp.asarray(y0))
+    if y0_limbs is not None:
+        y = tuple(jnp.asarray(l, jnp.float32) for l in y0_limbs)
+    else:
+        y = ex.from_f64(jnp.asarray(y0))
     dy = jnp.asarray(dy0)
-    ddy0 = eval_accel(accel, t0, ex.to_f64(y), dy) if starter.fsal else None
+
+    if accel_limbs is not None:
+        if getattr(accel_limbs, "needs_velocity", False):
+            def accel_q(t, y_exp, dy):
+                return accel_limbs(t, (y_exp[0], y_exp[1], y_exp[2]), dy)
+        else:
+            def accel_q(t, y_exp, dy):
+                return accel_limbs(t, (y_exp[0], y_exp[1], y_exp[2]))
+    else:
+        def accel_q(t, y_exp, dy):
+            return eval_accel(accel, t, ex.to_f64(y_exp), dy)
+
+    ddy0 = accel_q(t0, y, dy) if starter.fsal else None
 
     def substep(c, _):
         t, y, dy, ddy = c
         t, y, dy, ddy = _srkn_step_q(
-            starter, accel, t, y, dy, hs, ddy if starter.fsal else None
+            starter, accel_q, t, y, dy, hs, ddy if starter.fsal else None
         )
         return (t, y, dy, ddy), None
 
     def fullstep(c, _):
         c, _ = jax.lax.scan(substep, c, None, length=tab.substeps)
         t, y, dy, ddy = c
-        a = ddy if starter.fsal else eval_accel(accel, t, ex.to_f64(y), dy)
+        a = ddy if starter.fsal else accel_q(t, y, dy)
         return c, (y, a)
 
     init = (
         t0, y, dy,
-        ddy0 if ddy0 is not None else eval_accel(accel, t0, ex.to_f64(y), dy),
+        ddy0 if ddy0 is not None else accel_q(t0, y, dy),
     )
     (t, y, dy, _), (ys, ddys) = jax.lax.scan(fullstep, init, None, length=tab.order)
     return ELM2CarryQ(
@@ -662,8 +702,15 @@ def elm2_qf_to_q(carry: ELM2CarryQF) -> ELM2CarryQ:
     return ELM2CarryQ(t=carry.t, ys=carry.ys, ddys=ddys, dy=carry.dy)
 
 
-def elm2_init_qf(tab: ELMTableau, accel, t0, y0, dy0, h) -> ELM2CarryQF:
-    return elm2_qf_from_q(elm2_init_q(tab, accel, t0, y0, dy0, h))
+def elm2_init_qf(
+    tab: ELMTableau, accel, t0, y0, dy0, h, accel_limbs=None, y0_limbs=None
+) -> ELM2CarryQF:
+    return elm2_qf_from_q(
+        elm2_init_q(
+            tab, accel, t0, y0, dy0, h,
+            accel_limbs=accel_limbs, y0_limbs=y0_limbs,
+        )
+    )
 
 
 def elm2_step_qf(

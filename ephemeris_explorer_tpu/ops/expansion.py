@@ -74,6 +74,29 @@ def from_two(hi, lo) -> tuple:
     return (hi, lo, z, z)
 
 
+def from_f64_host(x) -> tuple:
+    """EXACT host-side limb split of real IEEE f64 (numpy) values.
+
+    Shipping an f64 array to the TPU rounds it to the emulated-f64 pair
+    (~2^-49 relative).  For heliocentric initial positions that truncation
+    is a few-micrometre perturbation of the initial conditions, which
+    shifts each close moon's semi-major axis and turns into a SECULAR
+    ~m/yr along-track drift (measured: Triton 5.4 m/yr, docs/ACCURACY.md
+    round 3).  Split on the host instead — three f32 limbs represent any
+    binary64 exactly — and ship the limbs; f32 transfers are exact.
+    """
+    import numpy as np
+
+    x = np.asarray(x, np.float64)
+    limbs = []
+    for _ in range(K - 1):
+        l = x.astype(np.float32)
+        limbs.append(l)
+        x = x - l.astype(np.float64)
+    limbs.append(x.astype(np.float32))  # zero for f64 input (3 limbs exact)
+    return tuple(jnp.asarray(l) for l in limbs)
+
+
 def from_f64(x) -> tuple:
     """Exact lift of an f64 (or emulated-f64) array into f32 limbs."""
     a0 = x.astype(jnp.float32)

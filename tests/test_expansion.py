@@ -66,3 +66,51 @@ def test_elm2_alpha_sum_accuracy():
     rel = abs(got - exact) / Fraction(ys[0])
     # per-step state rounding must be far below f64 (2^-53)
     assert float(rel) < 2.0**-85, float(rel)
+
+
+def test_from_f64_host_exact():
+    """Host limb split represents any binary64 exactly (3 f32 limbs).
+
+    This is the IC-transfer fix: shipping f64 to the TPU rounds it to the
+    emulated-f64 pair (~2^-49 relative), a um-scale perturbation of
+    heliocentric initial positions that measured as a secular ~m/yr
+    along-track moon drift (docs/ACCURACY.md round 3).  f32 limbs ship
+    exactly.
+    """
+    rng = np.random.default_rng(7)
+    # heliocentric-position-like magnitudes with full mantissas
+    v = rng.normal(size=(64, 3)) * 10.0 ** rng.integers(3, 10, (64, 3))
+    limbs = ex.from_f64_host(v)
+    assert all(np.asarray(l).dtype == np.float32 for l in limbs)
+    recon = np.zeros_like(v)
+    for l in limbs[::-1]:
+        recon = recon + np.asarray(l, np.float64)
+    np.testing.assert_array_equal(recon, v)
+    # the 4th limb must be identically zero for f64 input
+    np.testing.assert_array_equal(np.asarray(limbs[-1]), 0.0)
+
+
+def test_elm2_init_q_y0_limbs_plumbing():
+    """elm2_init_q(y0_limbs=...) equals the from_f64 lift on CPU (where the
+    device transfer is lossless), proving the limb path feeds the starter."""
+    import jax
+
+    from ephemeris_explorer_tpu.integrators import get, multistep
+    from ephemeris_explorer_tpu.ops import nbody
+
+    rng = np.random.default_rng(3)
+    n = 4
+    pos = rng.normal(size=(n, 3)) * 1.0e8
+    vel = rng.normal(size=(n, 3)) * 10.0
+    mu = np.abs(rng.normal(size=n)) * 1.0e9
+    mu_j = jnp.asarray(mu)
+    accel = lambda t, y: nbody.pairwise_accel(y, mu_j)  # noqa: E731
+    tab = get("QuinlanTremaine12")
+    c_a = multistep.elm2_init_q(tab, accel, 0.0, jnp.asarray(pos), jnp.asarray(vel), 600.0)
+    c_b = multistep.elm2_init_q(
+        tab, accel, 0.0, None, jnp.asarray(vel), 600.0,
+        y0_limbs=ex.from_f64_host(pos),
+    )
+    for la, lb in zip(c_a.ys, c_b.ys):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    np.testing.assert_array_equal(np.asarray(c_a.dy), np.asarray(c_b.dy))

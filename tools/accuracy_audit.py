@@ -66,10 +66,54 @@ PLANETS = {
 }
 
 
+def _dd_seed_carry(tab, mu, t0, pos, vel, h):
+    """Seed an expansion-engine carry from the ddf truth's OWN startup ring.
+
+    Bisection instrument for the linear worst-moon phase drift: the dd-force
+    numpy startup (2^-106) is converted limb-exactly into the engine's
+    4-limb expansion carry.  If an engine run from this seed still drifts,
+    the drift lives in the main-scan recursion arithmetic; if it vanishes,
+    the seed was the startup.
+    """
+    from ephemeris_explorer_tpu import truth_np as tn
+
+    mu_np = np.asarray(mu, np.float64)
+    c = tn.elm2_init(
+        tab, mu_np, float(t0), np.asarray(pos, np.float64),
+        np.asarray(vel, np.float64), h,
+    )
+
+    def dd_to_limbs(hi, lo):
+        # sequential limb extraction in dd arithmetic: exact until the
+        # residual falls below ~2^-96 of the value
+        v = tn.TF(np.asarray(hi, np.float64), np.asarray(lo, np.float64))
+        limbs = []
+        for _ in range(ex.K):
+            l = v.hi.astype(np.float32)
+            limbs.append(jnp.asarray(l))
+            v = tn.sub(v, tn.from_float(l.astype(np.float64)))
+        return tuple(limbs)
+
+    return multistep.ELM2CarryQ(
+        t=jnp.asarray(c.t, jnp.float64),
+        ys=dd_to_limbs(c.ys.hi, c.ys.lo),
+        ddys=jnp.asarray(c.ddys.hi + c.ddys.lo),
+        dy=jnp.asarray(c.dy.hi + c.dy.lo),
+    )
+
+
 def _chunk_runner(
-    mode: str, tab, mu, t0, pos, vel, h, chunk_steps: int, device, pert_specs=()
+    mode: str, tab, mu, t0, pos, vel, h, chunk_steps: int, device, pert_specs=(),
+    dd_startup: bool = False,
 ):
     """(carry, step_chunk, extract_pos) for one engine mode."""
+    # host-f64 copies BEFORE any device transfer: on TPU, f64 arrays round
+    # to the emulated-f64 pair in transit (~2^-49), a µm-scale IC
+    # perturbation that measures as a secular m/yr moon drift
+    # (ex.from_f64_host docstring; docs/ACCURACY.md round 3)
+    mu_host = np.asarray(mu, np.float64)
+    pos_host = np.asarray(pos, np.float64)
+    vel_host = np.asarray(vel, np.float64)
     mu = jax.device_put(jnp.asarray(mu), device)
 
     if pert_specs:
@@ -143,7 +187,16 @@ def _chunk_runner(
             step = lambda c: multistep.elm2_step(tab, accel, h, c)  # noqa: E731
             extract = lambda c: np.asarray(c.ys[0])  # noqa: E731
         elif mode in ("expansion", "expansion3", "expansionF"):
-            carry = multistep.elm2_init_q(tab, accel, t0, pos, vel, h)
+            # limb-aware startup (same force the main scan uses): without it
+            # the starter's f64-rounded positions seed moon phase drift
+            # (see elm2_init_q docstring / docs/ACCURACY.md)
+            if dd_startup:
+                carry = _dd_seed_carry(tab, mu_host, t0, pos_host, vel_host, h)
+            else:
+                carry = multistep.elm2_init_q(
+                    tab, accel, t0, pos, vel, h, accel_limbs=accel_limbs,
+                    y0_limbs=ex.from_f64_host(pos_host),
+                )
             step = lambda c: multistep.elm2_step_q(  # noqa: E731
                 tab, accel, h, c, accel_limbs=accel_limbs
             )
@@ -172,8 +225,15 @@ def _chunk_runner(
                     interpret=interp, **kw
                 )
 
+            def accel_limbs_f(t, limbs):
+                fh, fl = accel_pair(t, limbs)
+                return fh.astype(jnp.float64) + fl.astype(jnp.float64)
+
             carry = multistep.elm2_qf_from_q(
-                multistep.elm2_init_q(tab, accel, t0, pos, vel, h)
+                multistep.elm2_init_q(
+                    tab, accel, t0, pos, vel, h, accel_limbs=accel_limbs_f,
+                    y0_limbs=ex.from_f64_host(pos_host),
+                )
             )
             step = lambda c: multistep.elm2_step_qf(  # noqa: E731
                 tab, accel_pair, h, c, interpret=interp
@@ -204,6 +264,7 @@ def audit(
     verbose: bool = True,
     truth: str = "dd",
     traj_cache: str | None = None,
+    dd_startup: bool = False,
 ) -> dict:
     """Integrate truth + candidate modes; return per-checkpoint max errors.
 
@@ -235,7 +296,8 @@ def audit(
         if traj_cache:
             from pathlib import Path as _P
 
-            key = f"{scene_name}_h{h:g}_s{total_steps}_c{checkpoints}_{mode}.npy"
+            seed_tag = "+ddstart" if (dd_startup and mode not in ("dd", "ddf", "ref64")) else ""
+            key = f"{scene_name}_h{h:g}_s{total_steps}_c{checkpoints}_{mode}{seed_tag}.npy"
             cache_f = _P(traj_cache) / key
             if cache_f.exists():
                 runs[mode] = np.load(cache_f)
@@ -247,6 +309,7 @@ def audit(
         carry, run_chunk, extract = _chunk_runner(
             mode, tab, state.mus(), state.epoch.as_offset_seconds(),
             state.positions(), state.velocities(), h, chunk, device,
+            dd_startup=dd_startup,
         )
         traj = []
         for k in range(n_chunks):
@@ -267,6 +330,7 @@ def audit(
 
     truth_traj = runs.pop(truth)
     out = {}
+    per_body = {}
     for mode, traj in runs.items():
         rows = []
         for k in range(truth_traj.shape[0]):
@@ -276,6 +340,16 @@ def audit(
                 (days, float(np.max(err)), float(np.max(err[planet_rows])))
             )
         out[mode] = rows
+        # per-body error at EVERY checkpoint (km), worst-last ordering by the
+        # final checkpoint — names the body behind each max_all_km figure
+        final_err = np.linalg.norm(traj[-1] - truth_traj[-1], axis=-1)
+        series = np.linalg.norm(traj - truth_traj, axis=-1)  # (K, N)
+        order = np.argsort(final_err)
+        per_body[mode] = [
+            (names[i], [float(series[k, i]) for k in range(series.shape[0])])
+            for i in order
+        ]
+    out["__per_body__"] = per_body
     return out
 
 
@@ -364,6 +438,15 @@ def main(argv=None) -> int:
         "--traj-cache", default=None,
         help="directory to persist/reuse per-mode checkpoint trajectories",
     )
+    p.add_argument(
+        "--dd-startup", action="store_true",
+        help="seed expansion engines from the ddf truth's dd startup ring "
+        "(drift-bisection instrument: startup vs recursion)",
+    )
+    p.add_argument(
+        "--worst", type=int, default=0,
+        help="print the N worst bodies' per-checkpoint error series per mode",
+    )
     p.add_argument("--csv", default=None)
     p.add_argument("--json", dest="json_out", default=None)
     p.add_argument("--oracle", action="store_true", help="76-year real-JPL endpoint check")
@@ -393,8 +476,10 @@ def main(argv=None) -> int:
     res = audit(
         args.scene, total_steps, args.checkpoints, modes, dt=args.dt,
         truth=args.truth, traj_cache=args.traj_cache,
+        dd_startup=args.dd_startup,
     )
 
+    per_body = res.pop("__per_body__", {})
     tdesc = "dd128(QT12,cpu)" if args.truth == "dd" else "dd128+ddforce(QT12,cpu)"
     print(f"# scene={args.scene} dt={h:.0f}s steps={total_steps} "
           f"truth={tdesc}")
@@ -404,6 +489,13 @@ def main(argv=None) -> int:
         for days, e_all, e_pl in rows:
             print(f"{mode:12s} {days:9.1f} {e_all:12.6f} {e_pl:14.6f}")
             rows_csv.append((mode, days, e_all, e_pl))
+    if args.worst:
+        for mode, ranked in per_body.items():
+            print(f"# worst {args.worst} bodies, mode={mode} "
+                  f"(km at each checkpoint, worst last):")
+            for name, series in ranked[-args.worst:]:
+                svals = " ".join(f"{v:.6f}" for v in series)
+                print(f"  {name:24s} {svals}")
     if args.csv:
         with open(args.csv, "w") as f:
             f.write("mode,sim_days,max_all_km,max_planets_km\n")
