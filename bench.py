@@ -32,6 +32,8 @@ N_BODIES = 4096
 STEPS_PER_CHUNK = 400
 GROUPS = 2            # timed groups; spread across groups is published
 CHUNKS_PER_GROUP = 3  # chunks queued back-to-back per group (one drain each)
+FAST_CHUNK_MULT = 5   # extra chunks for the fast modes (sub-second groups
+                      # otherwise drown in the fixed relay-drain jitter)
 BASELINE = 1.0e6  # body-steps/sec/chip
 
 # Measurement note (round 3): every host sync through the remote-device
@@ -435,17 +437,32 @@ def bench_f32_fast() -> dict:
 
     p = scan(pos32)
     _force(p)
-    t0 = time.perf_counter()
-    for _ in range(CHUNKS_PER_GROUP * GROUPS):
-        p = scan(p)
-    _force(p)
-    elapsed = time.perf_counter() - t0
-    value = N_BODIES * STEPS_PER_CHUNK * CHUNKS_PER_GROUP * GROUPS / elapsed
+    # The fast modes finish a 3-chunk group in well under a second, so a
+    # single ~0.2 s relay drain swings the reading by double digits; time
+    # FAST_CHUNK_MULT x the chunks per drain and publish the group spread.
+    rates = []
+    t_all = time.perf_counter()
+    for _ in range(GROUPS):
+        t0 = time.perf_counter()
+        for _ in range(CHUNKS_PER_GROUP * FAST_CHUNK_MULT):
+            p = scan(p)
+        _force(p)
+        rates.append(
+            N_BODIES * STEPS_PER_CHUNK * CHUNKS_PER_GROUP * FAST_CHUNK_MULT
+            / (time.perf_counter() - t0)
+        )
+    elapsed = time.perf_counter() - t_all
+    steps = STEPS_PER_CHUNK * CHUNKS_PER_GROUP * FAST_CHUNK_MULT * GROUPS
+    value = N_BODIES * steps / elapsed
     return {
         "metric": f"fast-mode f32 force evals/sec/chip x bodies (N={N_BODIES}, ~1e-6 rel)",
         "value": round(value, 1),
         "unit": "body-steps/s",
         "vs_baseline": round(value / BASELINE, 3),
+        "groups": GROUPS,
+        "spread_pct": round(
+            100.0 * (max(rates) - min(rates)) / (sum(rates) / len(rates)), 2
+        ),
     }
 
 
@@ -476,17 +493,31 @@ def bench_mixed() -> dict:
 
     c = scan(ph, plo)
     _force(c)
-    t0 = time.perf_counter()
-    for _ in range(CHUNKS_PER_GROUP * GROUPS):
-        c = scan(*c)
-    _force(c)
-    elapsed = time.perf_counter() - t0
-    value = N_BODIES * STEPS_PER_CHUNK * CHUNKS_PER_GROUP * GROUPS / elapsed
+    # grouped + drain-amortised like bench_f32_fast (sub-second groups are
+    # dominated by relay-drain jitter otherwise)
+    rates = []
+    t_all = time.perf_counter()
+    for _ in range(GROUPS):
+        t0 = time.perf_counter()
+        for _ in range(CHUNKS_PER_GROUP * FAST_CHUNK_MULT):
+            c = scan(*c)
+        _force(c)
+        rates.append(
+            N_BODIES * STEPS_PER_CHUNK * CHUNKS_PER_GROUP * FAST_CHUNK_MULT
+            / (time.perf_counter() - t0)
+        )
+    elapsed = time.perf_counter() - t_all
+    steps = STEPS_PER_CHUNK * CHUNKS_PER_GROUP * FAST_CHUNK_MULT * GROUPS
+    value = N_BODIES * steps / elapsed
     return {
         "metric": f"mixed-mode force evals/sec/chip x bodies (N={N_BODIES}, ~1e-6 rel all geometries)",
         "value": round(value, 1),
         "unit": "body-steps/s",
         "vs_baseline": round(value / BASELINE, 3),
+        "groups": GROUPS,
+        "spread_pct": round(
+            100.0 * (max(rates) - min(rates)) / (sum(rates) / len(rates)), 2
+        ),
     }
 
 

@@ -67,12 +67,26 @@ def _rsqrt_df(x: TwoFloat, refinements: int = 1) -> TwoFloat:
     precision.  The first iteration exploits the seed's zero low part:
     y0^2 is a single errorless square and y0 * corr a float-by-TwoFloat
     product (saves two full dd multiplies per pair).
+
+    The plain Newton step y0*(1.5 - s/2) with s = x*y0^2 lands at
+    y_true*(1 - 1.5 d^2) for seed error d — a SYSTEMATIC undershoot
+    (~2^-49 mean, the bias that integrates QUADRATICALLY through a
+    second-order multistep; it was the planets' km-scale century drift,
+    docs/ACCURACY.md).  Folding the next Taylor term of (1+(s-1))^-1/2,
+    +(3/8)(s-1)^2, into corr.lo costs 3 f32 ops and measures 22x less
+    bias (-2^-49.3 -> -2^-53.7) and 1.6x smaller max error — better on
+    both counts than a full second dd refinement (bias +2^-51.6).
     """
     y0 = jax.lax.rsqrt(x.hi)
     # first refinement, specialised for lo = 0
     y0sq = TwoFloat(*eft.two_sqr(y0))
     xy2 = eft.mul(x, y0sq)
+    # s - 1: (s.hi - 1) is EXACT in f32 (Sterbenz, s within [0.5, 2]); s.lo
+    # is the same order as s - 1 (~2^-23) so it must fold in, but plain
+    # addition suffices — the correction only needs t to f32 accuracy
+    t = (xy2.hi - jnp.float32(1.0)) + xy2.lo
     corr = eft.add_float(eft.mul_float(xy2, jnp.float32(-0.5)), jnp.float32(1.5))
+    corr = TwoFloat(corr.hi, corr.lo + jnp.float32(0.375) * t * t)
     y = TwoFloat(*eft.two_prod(y0, corr.hi))
     y = TwoFloat(*eft.quick_two_sum(y.hi, y.lo + y0 * corr.lo))
     for _ in range(refinements - 1):
@@ -145,11 +159,17 @@ def _accel_kernel(
         one = jnp.ones_like(r2.hi)
         r2 = eft.where(self_mask, TwoFloat(one, jnp.zeros_like(one)), r2)
 
-        u = _rsqrt_df(r2)                        # 1/r
-        u3 = eft.mul(eft.sqr(u), u)              # 1/r^3
         mu = TwoFloat(mu_hi_ref[0, pl.ds(c0, tc)][None, :],
                       mu_lo_ref[0, pl.ds(c0, tc)][None, :])
-        w = eft.mul(u3, mu)
+        u = _rsqrt_df(r2)                        # 1/r
+        # w = (u^2 * mu) * u, NOT (u^2 * u) * mu: u^3 alone spans down to
+        # ~5e-30 km^-3 for the most distant solar-system pairs and the dd
+        # correction terms of its final mul land f32-SUBNORMAL and flush
+        # (measured: the Sun->Pluto term silently degraded to 1.2e-9
+        # relative).  Folding mu in FIRST keeps every intermediate normal
+        # for any physical geometry at zero extra cost; w.lo can only
+        # underflow when the term itself is negligible (w.hi < 2e-31).
+        w = eft.mul(eft.mul(eft.sqr(u), mu), u)
         zero = jnp.zeros_like(w.hi)
         w = eft.where(self_mask, TwoFloat(zero, zero), w)
         w_split = eft.split(w.hi)
@@ -414,11 +434,17 @@ def _accel_kernel3(
         one = jnp.ones_like(r2.hi)
         r2 = eft.where(self_mask, TwoFloat(one, jnp.zeros_like(one)), r2)
 
-        u = _rsqrt_df(r2)
-        u3 = eft.mul(eft.sqr(u), u)
         mu = TwoFloat(mu_hi_ref[0, pl.ds(c0, tc)][None, :],
                       mu_lo_ref[0, pl.ds(c0, tc)][None, :])
-        w = eft.mul(u3, mu)
+        u = _rsqrt_df(r2)                        # 1/r
+        # w = (u^2 * mu) * u, NOT (u^2 * u) * mu: u^3 alone spans down to
+        # ~5e-30 km^-3 for the most distant solar-system pairs and the dd
+        # correction terms of its final mul land f32-SUBNORMAL and flush
+        # (measured: the Sun->Pluto term silently degraded to 1.2e-9
+        # relative).  Folding mu in FIRST keeps every intermediate normal
+        # for any physical geometry at zero extra cost; w.lo can only
+        # underflow when the term itself is negligible (w.hi < 2e-31).
+        w = eft.mul(eft.mul(eft.sqr(u), mu), u)
         zero = jnp.zeros_like(w.hi)
         w = eft.where(self_mask, TwoFloat(zero, zero), w)
         w_split = eft.split(w.hi)
@@ -620,16 +646,20 @@ def _accel_kernel_sym(
         r2 = eft.where(self_mask, TwoFloat(one, jnp.zeros_like(one)), r2)
 
         u = _rsqrt_df(r2)
-        w = eft.mul(eft.sqr(u), u)               # 1/r^3, no mu yet
-        zero = jnp.zeros_like(w.hi)
-        w = eft.where(self_mask, TwoFloat(zero, zero), w)
-        w_split = eft.split(w.hi)
+        # u^2 with mu folded in BEFORE the final u multiply — see the row
+        # kernels: the u^3 intermediate's dd corrections flush subnormal
+        # for the most distant pairs.  Costs one extra dd mul vs the
+        # shared-u^3 form (this kernel is a documented negative result).
+        u2 = eft.sqr(u)
+        zero = jnp.zeros_like(u2.hi)
+        u2 = eft.where(self_mask, TwoFloat(zero, zero), u2)
+        u2_split = eft.split(u2.hi)
 
         # row receivers i: a_i += sum_cols mu_j * w * d
         mu_c = TwoFloat(mu_hi_ref[0, pl.ds(c0, t)][None, :],
                         mu_lo_ref[0, pl.ds(c0, t)][None, :])
         mu_c_split = eft.split(mu_c.hi)
-        wr = eft.mul_presplit(w, w_split, mu_c, mu_c_split)
+        wr = eft.mul(eft.mul_presplit(u2, u2_split, mu_c, mu_c_split), u)
         wr_split = eft.split(wr.hi)
         acc_new = []
         for c in range(3):
@@ -640,7 +670,7 @@ def _accel_kernel_sym(
         # column receivers j: a_j -= sum_rows mu_i * w * d; masked out on
         # the diagonal tile
         cmask = (j > i).astype(jnp.float32)
-        wc = eft.mul_presplit(w, w_split, mu_r, mu_r_split)
+        wc = eft.mul(eft.mul_presplit(u2, u2_split, mu_r, mu_r_split), u)
         wc_split = eft.split(wc.hi)
         for c in range(3):
             term = eft.mul_presplit(wc, wc_split, d[c], d_splits[c])
