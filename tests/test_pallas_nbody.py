@@ -500,3 +500,120 @@ def test_mixed_mode_error_envelope():
     assert rel_fast[1] > 30 * rel_mixed[1], (rel_fast[1], rel_mixed[1])
     assert rel_mixed[1] < 3e-6, rel_mixed[1]
     assert rel_mixed.max() > 1e-9  # sanity: it IS f32-chain, not df64
+
+
+def test_rsqrt_df_bias_envelope():
+    """The two-float rsqrt must stay UNBIASED to ~2^-53.
+
+    One plain Newton refinement from the f32 seed lands at
+    y_true*(1 - 1.5 d^2) — a systematic ~2^-49 undershoot that integrates
+    QUADRATICALLY through a second-order multistep (it was the planets'
+    km-scale century drift, docs/ACCURACY.md).  _rsqrt_df folds the next
+    Taylor term, +(3/8)(s-1)^2, into the correction; this pins both the
+    mean (bias) and max error so the fix cannot silently regress.
+    """
+    import jax
+
+    from ephemeris_explorer_tpu.ops import eft
+    from ephemeris_explorer_tpu.ops.pallas_nbody import _rsqrt_df
+
+    rng = np.random.default_rng(0)
+    x = np.exp(rng.uniform(np.log(1e-8), np.log(1e8), size=200_000))
+    xh, xl = split_f64(jnp.asarray(x))
+    y = jax.jit(_rsqrt_df)(eft.TwoFloat(xh, xl))
+    yv = np.asarray(y.hi, np.float64) + np.asarray(y.lo, np.float64)
+    truth = 1.0 / np.sqrt(np.asarray(x, np.longdouble))
+    rel = (np.asarray(yv, np.longdouble) - truth) / truth
+    # measured: bias -2^-53.6, max 2^-46.2 (pre-fix: bias -2^-49.3)
+    assert abs(float(rel.mean())) < 2.0**-52, float(rel.mean())
+    assert float(np.max(np.abs(rel))) < 2.0**-45, float(np.max(np.abs(rel)))
+
+
+@pytest.mark.skipif(not HAVE_PALLAS, reason="pallas unavailable")
+def test_distant_pair_weight_chain():
+    """Sun->Pluto-class force terms must keep full two-float precision.
+
+    u^3 = r^-3 spans down to ~5e-30 km^-3 for the most distant physical
+    pairs; the dd correction terms of a final (u^2*u)*mu multiply land
+    f32-SUBNORMAL and flush on TPU hardware (measured: 1.2e-9 relative on
+    the Sun->Pluto term).  The kernels reassociate as (u^2*mu)*u.  Two
+    nets here: (1) the kernels on the geometry (catches gross breakage;
+    interpret mode keeps subnormals, so the on-device flush itself is
+    checked by tools/tpu_smoke.py); (2) an explicit flush-to-zero
+    emulation of both associations, pinning WHY the order matters.
+    """
+    from fractions import Fraction
+
+    from ephemeris_explorer_tpu.ops import eft, expansion as ex
+    from ephemeris_explorer_tpu.ops.pallas_nbody import (
+        _rsqrt_df,
+        pairwise_accel_limbs,
+    )
+
+    n = 8
+    pos = np.zeros((n, 3))
+    pos[1] = [4.4e9, 3.7e9, -1.2e9]  # "Pluto", ~5.9e9 km from "Sun"
+    pos[2:] = np.linspace(1e8, 2e9, 6)[:, None] * np.array([1.0, 0.3, -0.2])
+    mu = np.full(n, 1e3)
+    mu[0], mu[1] = 1.327e11, 8.7e2
+    jpos = jnp.asarray(pos)
+    mu_hi, mu_lo = split_f64(jnp.asarray(mu).reshape(1, n))
+
+    def exact_accel(i):
+        acc = [Fraction(0)] * 3
+        pi = [Fraction(pos[i][k]) for k in range(3)]
+        for j in range(n):
+            if j == i:
+                continue
+            pj = [Fraction(pos[j][k]) for k in range(3)]
+            d = [a - b for a, b in zip(pj, pi)]
+            r2 = sum(v * v for v in d)
+            inv_r3 = Fraction(float(np.longdouble(float(r2)) ** np.longdouble(-1.5)))
+            for k in range(3):
+                acc[k] += Fraction(mu[j]) * d[k] * inv_r3
+        return np.array([float(a) for a in acc])
+
+    truth = exact_accel(1)
+    out2 = np.asarray(
+        pairwise_accel(jpos, mu_hi, mu_lo, interpret=True, tile_rows=8, tile_cols=8)
+    )
+    limbs = ex.from_f64(jpos)
+    out3 = np.asarray(
+        pairwise_accel_limbs(
+            *[np.asarray(l) for l in limbs[:3]], mu_hi, mu_lo,
+            interpret=True, tile_rows=8, tile_cols=8,
+        )
+    )
+    scale = np.max(np.abs(truth))
+    assert np.max(np.abs(out2[1] - truth)) / scale < 1e-13
+    assert np.max(np.abs(out3[1] - truth)) / scale < 1e-13
+
+    # --- flush-to-zero emulation of the weight chain -----------------------
+    # numpy keeps f32 subnormals (gradual underflow); TPU flushes them.
+    # Emulate the flush after every EFT op and evaluate both associations
+    # on the Sun->Pluto pair.
+    def ftz(x):
+        v = np.asarray(x)
+        out = np.where(np.abs(v) < np.float32(2.0**-126), np.float32(0), v)
+        return jnp.asarray(out)
+
+    def ftz2(x):
+        return eft.TwoFloat(ftz(x.hi), ftz(x.lo))
+
+    d = pos[0] - pos[1]
+    r2 = float(d @ d)
+    r2h, r2l = split_f64(jnp.asarray([r2]))
+    u = ftz2(_rsqrt_df(eft.TwoFloat(r2h, r2l)))
+    muh, mul_ = split_f64(jnp.asarray([mu[0]]))
+    mu_tf = eft.TwoFloat(muh, mul_)
+    u2 = ftz2(eft.sqr(u))
+    w_ship = ftz2(eft.mul(ftz2(eft.mul(u2, mu_tf)), u))      # (u^2*mu)*u
+    w_naive = ftz2(eft.mul(ftz2(eft.mul(u2, u)), mu_tf))     # (u^2*u)*mu
+    w_true = np.longdouble(mu[0]) * np.longdouble(r2) ** np.longdouble(-1.5)
+
+    def rel(w):
+        v = np.asarray(w.hi, np.float64) + np.asarray(w.lo, np.float64)
+        return abs(float((np.longdouble(v[0]) - w_true) / w_true))
+
+    assert rel(w_ship) < 1e-12, rel(w_ship)    # survives the flush
+    assert rel(w_naive) > 1e-10, rel(w_naive)  # loses the lo words to FTZ

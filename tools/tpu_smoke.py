@@ -141,6 +141,47 @@ def main() -> int:
     )
     print(f"PASS shardmap_ensemble_f  (E={e} x N={n}, {steps} steps, bitwise vs fused single-program)")
 
+    # --- distant-pair subnormal regression (DEVICE-ONLY failure mode) ------
+    # TPU flushes f32 subnormals; interpret mode (numpy) does not, so the CI
+    # variant of this check (tests/test_pallas_nbody.py::
+    # test_distant_pair_weight_chain) cannot see the flush itself.  A
+    # Sun->Pluto-class geometry exercises the u^3 ~ 5e-30 weight chain: with
+    # the (u^2*mu)*u association every intermediate stays f32-normal; the
+    # (u^2*u)*mu association silently degraded this row to ~1.2e-9 relative.
+    from ephemeris_explorer_tpu.ops import expansion as ex
+
+    dp = np.zeros((8, 3))
+    dp[1] = [4.4e9, 3.7e9, -1.2e9]  # "Pluto", ~5.9e9 km out
+    dp[2:] = np.linspace(1e8, 2e9, 6)[:, None] * np.array([1.0, 0.3, -0.2])
+    dmu = np.full(8, 1e3)
+    dmu[0], dmu[1] = 1.327e11, 8.7e2
+    dmu_hi, dmu_lo = split_f64(jnp.asarray(dmu).reshape(1, -1))
+    ref_np = np.zeros((8, 3))
+    for i in range(8):
+        for j in range(8):
+            if i == j:
+                continue
+            d = dp[j] - dp[i]
+            r2 = np.longdouble(d @ d)
+            ref_np[i] += np.asarray(
+                np.longdouble(dmu[j]) * d * r2 ** np.longdouble(-1.5), np.float64
+            )
+    from ephemeris_explorer_tpu.ops.pallas_nbody import (
+        pairwise_accel as pa2, pairwise_accel_limbs as pa3,
+    )
+
+    out2 = np.asarray(pa2(jnp.asarray(dp), dmu_hi, dmu_lo,
+                          tile_rows=8, tile_cols=8))
+    limbs = ex.from_f64(jnp.asarray(dp))
+    out3 = np.asarray(pa3(*[np.asarray(l) for l in limbs[:3]],
+                          dmu_hi, dmu_lo, tile_rows=8, tile_cols=8))
+    scale = np.max(np.abs(ref_np[1]))
+    rel2 = np.max(np.abs(out2[1] - ref_np[1])) / scale
+    rel3 = np.max(np.abs(out3[1] - ref_np[1])) / scale
+    assert rel2 < 1e-12, f"2-limb Sun->Pluto row degraded: {rel2}"
+    assert rel3 < 1e-12, f"3-limb Sun->Pluto row degraded: {rel3}"
+    print(f"PASS distant_pair_flush   (Sun->Pluto row, rel {rel2:.1e}/{rel3:.1e} on device FTZ)")
+
     print("tpu_smoke: all production shard_map x Mosaic compositions OK")
     return 0
 
