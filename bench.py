@@ -340,18 +340,29 @@ def bench_fleet64() -> dict:
     eph = generate_ephemeris(sc.state, sc.settings, Duration.from_days(320.0))
     ships = _fleet_ships(sc, eph, 64, 300.0)
     # warm (compile)
-    propagate_ships(eph, ships, max_knots=8192)
-    t0 = time.perf_counter()
     out = propagate_ships(eph, ships, max_knots=8192)
-    elapsed = time.perf_counter() - t0
     spans = [tr.end_s - tr.start_s for tr in out.values()]
     assert min(spans) > 290 * 86400.0, "fleet did not cover its missions"
-    value = 64 * 300.0 / elapsed
+    # a full fleet run is ~1.5 s since the batched result fetch — time
+    # several runs per group and publish spread (relay jitter otherwise)
+    rates = []
+    t_all = time.perf_counter()
+    for _ in range(GROUPS):
+        t0 = time.perf_counter()
+        for _ in range(2):
+            propagate_ships(eph, ships, max_knots=8192)
+        rates.append(2 * 64 * 300.0 / (time.perf_counter() - t0))
+    elapsed = time.perf_counter() - t_all
+    value = GROUPS * 2 * 64 * 300.0 / elapsed
     return {
         "metric": "64-ship fleet, 300-day missions w/ burns vs interpolated context (warm)",
         "value": round(value, 1),
         "unit": "ship-days/s",
         "vs_baseline": None,
+        "groups": GROUPS,
+        "spread_pct": round(
+            100.0 * (max(rates) - min(rates)) / (sum(rates) / len(rates)), 2
+        ),
     }
 
 

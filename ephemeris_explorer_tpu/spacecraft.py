@@ -88,12 +88,16 @@ def build_timeline(
     if pad_to is not None:
         while len(segs) < pad_to:
             segs.append((EPOCH_MAX, EPOCH_MAX, zero, FRAME_INERTIAL, 0))
+    # host (numpy) arrays: a fleet stacks many of these, and materialising
+    # 5 device buffers per ship costs a relay round trip each — callers
+    # that need device residency get it on first jitted use (or in one
+    # conversion inside stack_timelines)
     return Timeline(
-        starts=jnp.asarray(np.array([s[0] for s in segs])),
-        ends=jnp.asarray(np.array([s[1] for s in segs])),
-        accels=jnp.asarray(np.stack([s[2] for s in segs])),
-        frame_kind=jnp.asarray(np.array([s[3] for s in segs], dtype=np.int32)),
-        frame_body=jnp.asarray(np.array([s[4] for s in segs], dtype=np.int32)),
+        starts=np.array([s[0] for s in segs]),
+        ends=np.array([s[1] for s in segs]),
+        accels=np.stack([s[2] for s in segs]),
+        frame_kind=np.array([s[3] for s in segs], dtype=np.int32),
+        frame_body=np.array([s[4] for s in segs], dtype=np.int32),
     )
 
 
@@ -517,7 +521,14 @@ def propagate_resuming(
             jnp.asarray(cur_v)[None],
             jnp.asarray([end_s]),
         )
-        res = PropagationResult(*(x[0] for x in r))
+        # single batched fetch, sliced to the used prefix (4 separate pulls
+        # of mostly-padding buffers otherwise; see propagate_ships)
+        kmax = max(int(jax.device_get(jnp.max(r.count))), 1)
+        res = PropagationResult(
+            *(x[0] for x in jax.device_get(
+                PropagationResult(*((x[:, :kmax] if x.ndim >= 2 else x) for x in r))
+            ))
+        )
         piece = HermiteTrajectory.from_result(res)
         reason = int(res.reason)
         if traj is None:
@@ -605,19 +616,26 @@ def stack_timelines(timelines: list[Timeline]) -> Timeline:
     for t in timelines:
         pad = s_max - t.n_segments
         if pad:
+            # pad on host — device concats here cost ~10 relay round trips
+            # per ship; the single jnp conversion below ships one buffer
             t = Timeline(
-                starts=jnp.concatenate([t.starts, jnp.full((pad,), EPOCH_MAX)]),
-                ends=jnp.concatenate([t.ends, jnp.full((pad,), EPOCH_MAX)]),
-                accels=jnp.concatenate([t.accels, jnp.zeros((pad, 3))]),
-                frame_kind=jnp.concatenate(
-                    [t.frame_kind, jnp.zeros((pad,), jnp.int32)]
+                starts=np.concatenate([np.asarray(t.starts), np.full((pad,), EPOCH_MAX)]),
+                ends=np.concatenate([np.asarray(t.ends), np.full((pad,), EPOCH_MAX)]),
+                accels=np.concatenate([np.asarray(t.accels), np.zeros((pad, 3))]),
+                frame_kind=np.concatenate(
+                    [np.asarray(t.frame_kind), np.zeros((pad,), np.int32)]
                 ),
-                frame_body=jnp.concatenate(
-                    [t.frame_body, jnp.zeros((pad,), jnp.int32)]
+                frame_body=np.concatenate(
+                    [np.asarray(t.frame_body), np.zeros((pad,), np.int32)]
                 ),
             )
         padded.append(t)
-    return Timeline(*(jnp.stack([getattr(t, f) for t in padded]) for f in Timeline._fields))
+    return Timeline(
+        *(
+            jnp.asarray(np.stack([np.asarray(getattr(t, f)) for t in padded]))
+            for f in Timeline._fields
+        )
+    )
 
 
 def propagate_batch(
@@ -691,6 +709,17 @@ def propagate_ships(ephemeris, ships, until=None, max_knots: int = 16384):
         )
         fn = _jitted_propagate_batch(method, params, max_knots)
         r = fn(packed, tls, t0s, p0s, v0s, ends)
+        # One batched device->host fetch for the whole group: slicing the
+        # device arrays per ship costs ~5 relay round trips per ship
+        # (count/reason syncs + ts/pos/vel prefix pulls) — ~300 round
+        # trips for a 64-ship fleet through the remote-device link.  The
+        # knot buffers are also mostly padding (static max_knots vs ~1e2
+        # used), so slice to the batch-max count on device first: 29 MB ->
+        # ~0.4 MB over a ~32 MB/s relay for the 64-ship bench fleet.
+        kmax = max(int(jax.device_get(jnp.max(r.count))), 1)
+        r = jax.device_get(
+            PropagationResult(*((x[:, :kmax] if x.ndim >= 2 else x) for x in r))
+        )
         for i, s in enumerate(group):
             res = PropagationResult(*(x[i] for x in r))
             if int(res.reason) == DONE_KNOTS_FULL:
