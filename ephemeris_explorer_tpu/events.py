@@ -18,10 +18,10 @@ sign functions are evaluated on the identical cubic-Hermite interpolant.
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from dataclasses import dataclass
+from typing import NamedTuple
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from .ephemeris import PackedEphemeris
@@ -167,13 +167,106 @@ class Apsides:
             self.insert(a)
 
 
+# ---------------------------------------------------------------------------
+# Host evaluation engine
+#
+# Event detection is small, shape-irregular work (K <= a few thousand knots,
+# B ~ tens of bodies, trajectory lengths differing per ship), which is the
+# WRONG shape for the device: every distinct knot count would trigger a fresh
+# XLA compile (minutes through a remote-compile toolchain) and each refinement
+# costs host<->device round trips.  The whole pass runs in plain numpy f64
+# against a host snapshot of the packed ephemeris — native IEEE double, no
+# jit, no transfers.  (TPU-first means putting the O(N^2 * steps) integration
+# on the device, not this.)
+# ---------------------------------------------------------------------------
+
+
+class _HostEph(NamedTuple):
+    """numpy mirror of PackedEphemeris (one device_get per pack snapshot)."""
+
+    mus: np.ndarray
+    starts: np.ndarray
+    intervals: np.ndarray
+    offsets: np.ndarray
+    nsegs: np.ndarray
+    coeffs: np.ndarray
+
+
+# bounded cache keyed on the device coeffs buffer; holds a reference to the
+# device array so its id() cannot be recycled while the entry lives
+_HOST_CACHE: "OrderedDict[int, tuple[object, _HostEph]]" = OrderedDict()
+
+
+def _host(eph: PackedEphemeris) -> _HostEph:
+    if isinstance(eph.coeffs, np.ndarray):
+        return _HostEph(*(np.asarray(x) for x in eph))
+    key = id(eph.coeffs)
+    hit = _HOST_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
+    import jax
+
+    he = _HostEph(*jax.device_get(tuple(eph)))
+    _HOST_CACHE[key] = (eph.coeffs, he)
+    while len(_HOST_CACHE) > 4:
+        _HOST_CACHE.popitem(last=False)
+    return he
+
+
+def _horner(c: np.ndarray, tau: np.ndarray) -> np.ndarray:
+    """sum_d c[..., d, :] tau^d  (numpy twin of ops/polyfit.horner)."""
+    tau = tau[..., None]
+    out = np.zeros_like(c[..., -1, :])
+    for d in range(c.shape[-2] - 1, -1, -1):
+        out = out * tau + c[..., d, :]
+    return out
+
+
+def _horner_and_deriv(c: np.ndarray, tau: np.ndarray):
+    """numpy twin of ops/polyfit.horner_and_deriv (d/dtau)."""
+    tau = tau[..., None]
+    n = c.shape[-2]
+    val = c[..., n - 1, :]
+    der = val
+    for d in range(n - 2, 0, -1):
+        val = val * tau + c[..., d, :]
+        der = der * tau + val
+    val = val * tau + c[..., 0, :]
+    return val, der
+
+
+def _segments(he: _HostEph, ts: np.ndarray):
+    """(M, N, C, 3) segment coeffs + (M, N) tau at times ts ((M,) f64 s)."""
+    local = ts[:, None] - he.starts[None, :]
+    idx = np.ceil(local / he.intervals[None, :]).astype(np.int64) - 1
+    idx = np.clip(idx, 0, he.nsegs[None, :] - 1)
+    tau = (local - he.intervals[None, :] * idx) / he.intervals[None, :]
+    return he.coeffs[he.offsets[None, :] + idx], tau
+
+
+def _positions(he: _HostEph, ts: np.ndarray) -> np.ndarray:
+    """(M, N, 3) body positions at (M,) times."""
+    c, tau = _segments(he, ts)
+    return _horner(c, tau)
+
+
+def _state_vectors(he: _HostEph, ts: np.ndarray):
+    c, tau = _segments(he, ts)
+    pos, dtau = _horner_and_deriv(c, tau)
+    return pos, dtau / he.intervals[None, :, None]
+
+
 def hermite_eval_batch(knot_ts, knot_pos, knot_vel, ts):
-    """Vectorised cubic-Hermite evaluation of the ship trajectory.
+    """Vectorised cubic-Hermite evaluation of the ship trajectory (numpy).
 
     knot_ts (K,), knot_pos/vel (K, 3); ts (M,) times inside the knot range.
     Returns (pos (M, 3), vel (M, 3)).
     """
-    idx = jnp.clip(jnp.searchsorted(knot_ts, ts, side="right") - 1, 0, len(knot_ts) - 2)
+    knot_ts = np.asarray(knot_ts)
+    knot_pos = np.asarray(knot_pos)
+    knot_vel = np.asarray(knot_vel)
+    ts = np.asarray(ts)
+    idx = np.clip(np.searchsorted(knot_ts, ts, side="right") - 1, 0, len(knot_ts) - 2)
     t0 = knot_ts[idx]
     t1 = knot_ts[idx + 1]
     p0, p1 = knot_pos[idx], knot_pos[idx + 1]
@@ -189,52 +282,18 @@ def hermite_eval_batch(knot_ts, knot_pos, knot_vel, ts):
     return pos, vel
 
 
-def _soi_sign_fn(eph: PackedEphemeris, soi_radii):
-    radii2 = jnp.asarray(soi_radii) ** 2
-
-    def f(knots, ts):
-        """(M,) times -> (M, B) signed SOI distance^2 for every body."""
-        kts, kpos, kvel = knots
-        spos, _ = hermite_eval_batch(kts, kpos, kvel, ts)
-        bpos = jax.vmap(eph.positions)(ts)           # (M, B, 3)
-        d2 = jnp.sum((spos[:, None, :] - bpos) ** 2, axis=-1)
-        return d2 - radii2[None, :]
-
-    return f
-
-
-def _radial_velocity_fn(eph: PackedEphemeris):
-    def f(knots, ts, body):
-        """(M,) times + (M,) body indices -> (M,) radial velocity."""
-        kts, kpos, kvel = knots
-        spos, svel = hermite_eval_batch(kts, kpos, kvel, ts)
-
-        def body_sv(t, b):
-            p, v = eph.state_vectors(t)
-            return p[b], v[b]
-
-        bpos, bvel = jax.vmap(body_sv)(ts, body)
-        rel_p = spos - bpos
-        rel_v = svel - bvel
-        return jnp.sum(rel_p * rel_v, axis=-1)
-
-    return f
-
-
 def _bisect(f, t0s, t1s, f0s):
     """Vectorised bisection (find_zero_crossing, dynamics/spacecraft.rs:111-162)."""
-
-    def body(_, state):
-        x0, x1, f0 = state
+    x0 = np.asarray(t0s, dtype=np.float64).copy()
+    x1 = np.asarray(t1s, dtype=np.float64).copy()
+    f0 = np.asarray(f0s, dtype=np.float64).copy()
+    for _ in range(BISECT_ITERS):
         mid = x0 + (x1 - x0) / 2.0
         fm = f(mid)
-        same = jnp.sign(f0) == jnp.sign(fm)
-        x0n = jnp.where(same, mid, x0)
-        f0n = jnp.where(same, fm, f0)
-        x1n = jnp.where(same, x1, mid)
-        return (x0n, x1n, f0n)
-
-    x0, x1, _ = jax.lax.fori_loop(0, BISECT_ITERS, body, (t0s, t1s, f0s))
+        same = np.sign(f0) == np.sign(fm)
+        x0 = np.where(same, mid, x0)
+        f0 = np.where(same, fm, f0)
+        x1 = np.where(same, x1, mid)
     return x0
 
 
@@ -248,64 +307,63 @@ def soi_transitions(
     descending crossing the ship enters that body's SOI; on an ascending
     crossing it enters the smallest containing SOI among the other bodies.
     """
-    kts = jnp.asarray(traj.ts)
-    kpos = jnp.asarray(traj.pos)
-    kvel = jnp.asarray(traj.vel)
-    knots = (kts, kpos, kvel)
     if len(traj.ts) < 2:
         return []
+    he = _host(eph)
+    kts = np.asarray(traj.ts)
+    kpos = np.asarray(traj.pos)
+    kvel = np.asarray(traj.vel)
+    radii2 = np.asarray(soi_radii) ** 2
 
-    fsoi = _soi_sign_fn(eph, soi_radii)
-    vals = np.asarray(jax.jit(fsoi)(knots, kts))       # (K, B)
+    def fsoi(ts):
+        """(M,) times -> (M, B) signed SOI distance^2 for every body."""
+        spos, _ = hermite_eval_batch(kts, kpos, kvel, ts)
+        bpos = _positions(he, ts)                      # (M, B, 3)
+        d2 = np.sum((spos[:, None, :] - bpos) ** 2, axis=-1)
+        return d2 - radii2[None, :]
+
+    vals = fsoi(kts)                                   # (K, B)
     sign = np.sign(vals)
-    flips = sign[:-1] * sign[1:] < 0                    # (K-1, B)
+    flips = sign[:-1] * sign[1:] < 0                   # (K-1, B)
     iv, ib = np.nonzero(flips)
     events: list[Event] = []
     if len(iv):
-        t0s = jnp.asarray(traj.ts[iv])
-        t1s = jnp.asarray(traj.ts[iv + 1])
-        bodies = jnp.asarray(ib)
-
-        def g(ts):
-            return fsoi(knots, ts)[jnp.arange(ts.shape[0]), bodies]
-
-        roots = np.asarray(_bisect(jax.jit(g), t0s, t1s, jnp.asarray(vals[iv, ib])))
+        roots = _bisect(
+            lambda ts: fsoi(ts)[np.arange(len(ts)), ib],
+            kts[iv], kts[iv + 1], vals[iv, ib],
+        )
         for t, b, v0 in zip(roots, ib, vals[iv, ib]):
             events.append(Event(float(t), int(b), ASCENDING if v0 < 0 else DESCENDING))
     events.sort(key=lambda e: e.time)
 
     # initial SOI (new_solution, dynamics/spacecraft.rs:524-537)
     transitions: list[tuple[float, int]] = []
-    init_soi = soi_at(eph, soi_radii, float(traj.ts[0]), traj.pos[0])
+    init_soi = _soi_of(_positions(he, kts[:1])[0], soi_radii, traj.pos[0])
     if init_soi is not None:
         transitions.append((float(traj.ts[0]), init_soi))
+
+    # ascending-crossing lookups, batched (ship + body positions for ALL)
+    asc = [e for e in events if e.direction == ASCENDING]
+    asc_pos: dict[float, tuple[np.ndarray, np.ndarray]] = {}
+    if asc:
+        ats = np.asarray([e.time for e in asc])
+        p_all, _ = hermite_eval_batch(kts, kpos, kvel, ats)
+        bpos_all = _positions(he, ats)
+        for e, p, bp in zip(asc, p_all, bpos_all):
+            asc_pos[e.time] = (p, bp)
 
     for e in events:
         if e.direction == DESCENDING:
             entered = e.body
         else:
-            p, _ = hermite_eval_batch(kts, kpos, kvel, jnp.asarray([e.time]))
-            entered = soi_at(eph, soi_radii, e.time, np.asarray(p[0]), except_=[e.body])
+            p, bp = asc_pos[e.time]
+            entered = _soi_of(bp, soi_radii, p, except_=[e.body])
             if entered is None:
                 continue
         if transitions and transitions[-1][1] == entered:
             continue  # dedup (SoiTransitions::insert, :332-337)
         transitions.append((e.time, entered))
     return transitions
-
-
-def soi_at(eph: PackedEphemeris, soi_radii, t, position, except_=()) -> int | None:
-    """Smallest containing SOI at `t` (find_soi, dynamics/spacecraft.rs:204-216)."""
-    bpos = np.asarray(eph.positions(jnp.asarray(t)))
-    d2 = np.sum((np.asarray(position)[None, :] - bpos) ** 2, axis=-1)
-    r2 = np.asarray(soi_radii) ** 2
-    inside = d2 < r2
-    for b in except_:
-        inside[b] = False
-    if not inside.any():
-        return None
-    cands = np.nonzero(inside)[0]
-    return int(cands[np.argmin(d2[cands])])
 
 
 def apsides(
@@ -318,17 +376,27 @@ def apsides(
     """
     if len(traj.ts) < 2 or not transitions:
         return []
-    kts = jnp.asarray(traj.ts)
-    knots = (kts, jnp.asarray(traj.pos), jnp.asarray(traj.vel))
+    he = _host(eph)
+    kts = np.asarray(traj.ts)
+    kpos = np.asarray(traj.pos)
+    kvel = np.asarray(traj.vel)
 
     # active SOI body for each knot interval
     tr_times = np.array([t for t, _ in transitions])
     tr_bodies = np.array([b for _, b in transitions])
-    idx = np.clip(np.searchsorted(tr_times, traj.ts, side="right") - 1, 0, len(tr_times) - 1)
+    idx = np.clip(np.searchsorted(tr_times, kts, side="right") - 1, 0, len(tr_times) - 1)
     body_per_knot = tr_bodies[idx]                      # (K,)
 
-    frv = _radial_velocity_fn(eph)
-    vals = np.asarray(jax.jit(frv)(knots, kts, jnp.asarray(body_per_knot)))
+    def frv(ts, body):
+        """(M,) times + (M,) body indices -> (M,) radial velocity."""
+        spos, svel = hermite_eval_batch(kts, kpos, kvel, ts)
+        bpos, bvel = _state_vectors(he, ts)
+        m = np.arange(len(ts))
+        rel_p = spos - bpos[m, body]
+        rel_v = svel - bvel[m, body]
+        return np.sum(rel_p * rel_v, axis=-1)
+
+    vals = frv(kts, body_per_knot)
 
     # a sign change within interval [k, k+1] counts only when the SOI body is
     # the same at both ends (transitions split the search spans)
@@ -338,18 +406,32 @@ def apsides(
     out: list[Apsis] = []
     if len(iv) == 0:
         return out
-    t0s = jnp.asarray(traj.ts[iv])
-    t1s = jnp.asarray(traj.ts[iv + 1])
-    bodies = jnp.asarray(body_per_knot[iv])
-
-    def g(ts):
-        return frv(knots, ts, bodies)
-
-    roots = np.asarray(_bisect(jax.jit(g), t0s, t1s, jnp.asarray(vals[iv])))
-    for t, b, v0 in zip(roots, body_per_knot[iv], vals[iv]):
-        p, _ = hermite_eval_batch(knots[0], knots[1], knots[2], jnp.asarray([t]))
-        bp = np.asarray(eph.positions(jnp.asarray(t)))[b]
-        dist = float(np.linalg.norm(np.asarray(p[0]) - bp))
-        out.append(Apsis(float(t), int(b), dist, periapsis=v0 < 0))
+    bsel = body_per_knot[iv]
+    roots = _bisect(lambda ts: frv(ts, bsel), kts[iv], kts[iv + 1], vals[iv])
+    # one batched ship-position + body-positions eval for ALL apsides
+    p_all, _ = hermite_eval_batch(kts, kpos, kvel, roots)
+    bp_all = _positions(he, roots)
+    dists = np.linalg.norm(p_all - bp_all[np.arange(len(roots)), bsel], axis=-1)
+    for t, b, v0, dist in zip(roots, bsel, vals[iv], dists):
+        out.append(Apsis(float(t), int(b), float(dist), periapsis=v0 < 0))
     out.sort(key=lambda a: a.time)
     return out
+
+
+def soi_at(eph: PackedEphemeris, soi_radii, t, position, except_=()) -> int | None:
+    """Smallest containing SOI at `t` (find_soi, dynamics/spacecraft.rs:204-216)."""
+    bpos = _positions(_host(eph), np.asarray([float(t)]))[0]
+    return _soi_of(bpos, soi_radii, position, except_)
+
+
+def _soi_of(bpos: np.ndarray, soi_radii, position, except_=()) -> int | None:
+    """soi_at against precomputed body positions (host-side, no device calls)."""
+    d2 = np.sum((np.asarray(position)[None, :] - bpos) ** 2, axis=-1)
+    r2 = np.asarray(soi_radii) ** 2
+    inside = d2 < r2
+    for b in except_:
+        inside[b] = False
+    if not inside.any():
+        return None
+    cands = np.nonzero(inside)[0]
+    return int(cands[np.argmin(d2[cands])])
