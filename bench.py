@@ -274,15 +274,15 @@ def bench_fss_generation() -> dict:
 
     sc = load_scene(REPO / "systems" / "full_solar_system_2433282.5")
     span = Duration.from_years(1.0)
-    # 4 sub-chunks per year: generate_ephemeris double-buffers chunk
-    # fetches (step_chunk_async), so the coefficient transfers overlap the
-    # next chunk's integration — the app's own incremental generation shape
-    # (prediction.rs dispatches chunked too).  Bitwise-identical output.
-    chunk_steps = 13184
+    # package-canonical chunking (ephemeris.CHUNK_STEPS + pow2 tail
+    # bucket): generate_ephemeris double-buffers chunk fetches
+    # (step_chunk_async), so the coefficient transfers overlap the next
+    # chunk's integration — and the bench seeds the same persistent-cache
+    # entries every Universe generation/extension reuses.
     # warm: compile all chunk shapes
-    generate_ephemeris(sc.state, sc.settings, span, chunk_steps=chunk_steps)
+    generate_ephemeris(sc.state, sc.settings, span)
     t0 = time.perf_counter()
-    eph = generate_ephemeris(sc.state, sc.settings, span, chunk_steps=chunk_steps)
+    eph = generate_ephemeris(sc.state, sc.settings, span)
     elapsed = time.perf_counter() - t0
     assert eph["Earth"].segment_count > 0
     sim_days = span.as_seconds() / 86400.0

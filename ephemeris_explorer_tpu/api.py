@@ -22,13 +22,14 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from . import analysis, events
-from .ephemeris import BodyEphemeris, Ephemeris, NBodyPropagator
+from .ephemeris import CHUNK_STEPS, BodyEphemeris, Ephemeris, NBodyPropagator
 from .ftime import Duration, Epoch
 from .integrators.adaptive import AdaptiveParams
 from .integrators.methods import ADAPTIVE_METHODS, get as get_method
 from .io import scene as scene_io
 from .io.scene import EphemeridesSettings, Scene, Ship, ShipBurn, SolarSystemState
 from .spacecraft import (
+    KNOT_CAPACITY,
     HermiteTrajectory,
     Timeline,
     build_timeline,
@@ -189,9 +190,13 @@ class PredictionTask:
         target: Ephemeris,
         lock: threading.Lock,
         total_steps: int,
-        chunk_steps: int = 8192,
+        chunk_steps: int | None = None,
         synchronisation: "Synchronisation | None" = None,
     ):
+        if chunk_steps is None:
+            # the package-canonical chunk so every entry point shares
+            # persistent-compile-cache entries (ephemeris.CHUNK_STEPS)
+            chunk_steps = CHUNK_STEPS
         self._prop = propagator
         self._target = target
         self._lock = lock
@@ -254,6 +259,14 @@ class PredictionTask:
                 while self._pause.is_set() and not self._cancel.is_set():
                     self._pause.wait(0.05)
                 n = min(self._chunk, self._total - self._prop.steps_done)
+                if self._sync is None and n < self._chunk:
+                    # bucket the tail chunk to the next power of two (the
+                    # span overshoots slightly): arbitrary extension spans
+                    # otherwise compile a fresh scan shape each — minutes
+                    # per shape through a remote-compile toolchain.  The
+                    # startup chunk must cover the multistep order.
+                    n = max(n, self._prop._tab.order + 1)
+                    n = min(1 << max(n - 1, 1).bit_length(), self._chunk)
                 first_seg = self._prop._segments_done(self._prop.steps_done)
                 t_chunk = time.perf_counter()
                 res = self._prop.step_chunk(n)
@@ -522,7 +535,7 @@ class Universe:
             and t <= self.ephemeris.end.as_offset_seconds()
         )
 
-    def replan(self, name: str, max_knots: int = 65536) -> HermiteTrajectory:
+    def replan(self, name: str, max_knots: int = KNOT_CAPACITY) -> HermiteTrajectory:
         """(Re)propagate a ship after flight-plan changes, restarting from the
         last unaffected event (apply_flight_plan, flight_plan.rs:325-361)."""
         entry = self.ships[name]

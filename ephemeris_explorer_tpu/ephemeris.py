@@ -43,6 +43,15 @@ from .io.scene import DIV, EphemeridesSettings, SolarSystemState
 from .ops import nbody
 from .ops.polyfit import MAX_COEFFS, fit_matrices, horner, horner_and_deriv
 
+# Canonical generation chunk (steps per device dispatch).  Every entry point
+# (Universe/PredictionTask, generate_ephemeris, bench.py) uses THIS size so
+# they share persistent-compilation-cache entries: through a remote-compile
+# TPU toolchain each distinct scan shape costs minutes to compile, and a
+# full_solar_system generation cold-compiled three novel shapes (~14 min)
+# when the entry points disagreed.  ~90 days of dt=600 s steps: big enough
+# for the unroll=8 scan body, small enough to keep merges incremental.
+CHUNK_STEPS = 13184
+
 
 # ---------------------------------------------------------------------------
 # Host-side per-body container (UniformSpline semantics)
@@ -355,19 +364,25 @@ class GenCarry(NamedTuple):
     samp: SampleState
 
 
-def _fit_chunk_pass(all_ys, samp, counts, fit_ms, n0, n_new, chunk_off, out):
+def _fit_chunk_pass(all_ys, samp, counts, fit_ms, n0, nn_caps, cap_off, out):
     """Post-scan sampling + fitting for one chunk.
 
     all_ys: (L, N, 3) positions emitted by the chunk's steps (step n0+i+1 at
     row i; n0 is a traced scalar).  The per-body sample ring carries the <= 8
-    samples preceding the chunk.  Segment SAMPLE COUNTS are static (baked into
-    the jit key via `n_new`); sample positions are gathered with dynamic
+    samples preceding the chunk.  Segment counts are CAPACITY-shaped:
+    ``nn_caps[b]`` is the most segments body b can complete in an L-step
+    window (a function of L and counts only — NOT of the chunk's offset), so
+    the compiled shape is offset-independent: the actually-completed segment
+    count is computed from the traced ``n0`` and surplus capacity rows are
+    dropped by an out-of-bounds scatter.  (Baking the actual counts into the
+    jit key made every extension offset a fresh compile — minutes each on a
+    remote-compile toolchain.)  Sample positions are gathered with dynamic
     indices from the chunk rows or the ring, fitted with the precomputed
-    least-squares matrices, and written at static offsets.  Replaces a
-    per-step scatter solout with one dense pass.
+    least-squares matrices.  Replaces a per-step scatter solout with one
+    dense pass.
 
-    Bodies are GROUPED by their static (count, n_new, fit-matrix) config and
-    each group is processed in one batched gather + broadcast-reduce, so the
+    Bodies are GROUPED by their static (count, fit-matrix) config and each
+    group is processed in one batched gather + broadcast-reduce, so the
     trace size scales with the number of distinct configs, not with N
     (full_solar_system: 12 groups for 32 bodies; synthetic large-N systems:
     one group).
@@ -375,10 +390,11 @@ def _fit_chunk_pass(all_ys, samp, counts, fit_ms, n0, n_new, chunk_off, out):
     L = all_ys.shape[0]
     nb = len(counts)
     n0 = jnp.asarray(n0, jnp.int64)
+    n_rows = out.shape[0]
 
     groups: dict[tuple, list[int]] = {}
     for b in range(nb):
-        key = (int(counts[b]), int(n_new[b]), fit_ms[b].tobytes())
+        key = (int(counts[b]), int(nn_caps[b]), fit_ms[b].tobytes())
         groups.setdefault(key, []).append(b)
 
     new_ring = samp.ring
@@ -387,6 +403,7 @@ def _fit_chunk_pass(all_ys, samp, counts, fit_ms, n0, n_new, chunk_off, out):
         ys_g = all_ys[:, np.asarray(bodies)]                      # (L, |G|, 3)
         if nn > 0:
             m0 = (n0 // cb) // DIV
+            m1 = ((n0 + L) // cb) // DIV                          # completed after chunk
             k_idx = DIV * m0 + jnp.arange(DIV * nn + 1)          # sample indices
             steps = k_idx * cb                                    # global steps
             in_chunk = steps > n0
@@ -407,12 +424,17 @@ def _fit_chunk_pass(all_ys, samp, counts, fit_ms, n0, n_new, chunk_off, out):
                 m_g[None, :, :, None, None] * seg_samples[:, None, :, :, :],
                 axis=2,
             )                                                     # (nn, 9, |G|, 3)
-            # rows for body b occupy [chunk_off[b], chunk_off[b] + nn)
-            rows = np.concatenate(
-                [np.arange(chunk_off[b], chunk_off[b] + nn) for b in bodies]
+            # segment s (global index m0 + s) is complete iff m0 + s < m1;
+            # incomplete capacity rows scatter out of bounds and are dropped
+            valid = (m0 + jnp.arange(nn)) < m1                    # (nn,)
+            rows = jnp.concatenate(
+                [
+                    jnp.where(valid, cap_off[b] + jnp.arange(nn), n_rows)
+                    for b in bodies
+                ]
             )
             flat = jnp.transpose(coeffs, (2, 0, 1, 3)).reshape(-1, MAX_COEFFS, 3)
-            out = out.at[jnp.asarray(rows)].set(flat)
+            out = out.at[rows].set(flat, mode="drop")
 
         # ring update, vectorised over slots: the latest sample k with
         # k % 8 == j inside this chunk (keep the old entry if none landed)
@@ -523,9 +545,9 @@ class NBodyPropagator:
         return (n_steps // c) // DIV
 
     # -- the jitted chunk ------------------------------------------------
-    def _build_chunk_fn(self, n_scan: int, startup: bool, n_new, chunk_off):
+    def _build_chunk_fn(self, n_scan: int, startup: bool, nn_caps, cap_off):
         return _chunk_fn(
-            self.spec, self.precision, n_scan, startup, n_new, chunk_off
+            self.spec, self.precision, n_scan, startup, nn_caps, cap_off
         )
 
     def step_chunk_async(self, n_steps: int):
@@ -548,15 +570,20 @@ class NBodyPropagator:
         m0 = self._segments_done(n0)
         m1 = self._segments_done(n0 + n_steps)
         n_new = tuple(int(x) for x in (m1 - m0))
-        chunk_off = tuple(
-            int(x) for x in np.concatenate([[0], np.cumsum(n_new)[:-1]])
-        )
-        tot = int(sum(n_new))
-        out = jnp.zeros((max(tot, 1), MAX_COEFFS, 3), dtype=jnp.float64)
 
-        key = (n_scan, startup, n_new)
+        # capacity-shaped emission (offset-independent; see _fit_chunk_pass):
+        # body b can complete at most n_steps // (DIV * count) + 1 segments
+        # in any n_steps window
+        c = np.array(self.spec.counts, dtype=np.int64)
+        nn_caps = tuple(int(x) for x in (n_steps // (DIV * c) + 1))
+        cap_off = tuple(
+            int(x) for x in np.concatenate([[0], np.cumsum(nn_caps)[:-1]])
+        )
+        out = jnp.zeros((int(sum(nn_caps)), MAX_COEFFS, 3), dtype=jnp.float64)
+
+        key = (n_scan, startup)
         if key not in self._chunk_fns:
-            self._chunk_fns[key] = self._build_chunk_fn(n_scan, startup, n_new, chunk_off)
+            self._chunk_fns[key] = self._build_chunk_fn(n_scan, startup, nn_caps, cap_off)
         fn = self._chunk_fns[key]
 
         init_y, init_dy = self._init_state
@@ -577,7 +604,7 @@ class NBodyPropagator:
         def fetch() -> dict[str, np.ndarray]:
             out_np = np.asarray(out)
             return {
-                name: out_np[chunk_off[i] : chunk_off[i] + n_new[i]]
+                name: out_np[cap_off[i] : cap_off[i] + n_new[i]]
                 for i, name in enumerate(names)
             }
 
@@ -604,14 +631,17 @@ class NBodyPropagator:
 _CHUNK_FN_CACHE: dict = {}
 
 
-def _chunk_fn(spec: "GenSpec", precision: str, n_scan: int, startup: bool, n_new, chunk_off):
+def _chunk_fn(spec: "GenSpec", precision: str, n_scan: int, startup: bool, nn_caps, cap_off):
     """Build (or fetch) the jitted generation chunk for a static config.
 
     Cached at module level so every propagator with the same configuration
     (method, step, counts, degrees, direction, precision, chunk shape) shares
-    one compilation - fresh closures would recompile per instance.
+    one compilation - fresh closures would recompile per instance.  The
+    emission buffer is capacity-shaped (see _fit_chunk_pass), so the key is
+    independent of the chunk's step offset: any extension reuses the
+    compiled chunk for its (n_scan, startup) size.
     """
-    key = (spec, precision, n_scan, startup, n_new, chunk_off)
+    key = (spec, precision, n_scan, startup)
     cached = _CHUNK_FN_CACHE.get(key)
     if cached is not None:
         return cached
@@ -794,7 +824,7 @@ def _chunk_fn(spec: "GenSpec", precision: str, n_scan: int, startup: bool, n_new
             else scan_ys
         )
         ring, out = _fit_chunk_pass(
-            all_ys, carry.samp, counts, fit_ms, n0, n_new, chunk_off, out
+            all_ys, carry.samp, counts, fit_ms, n0, nn_caps, cap_off, out
         )
         samp = SampleState(ring=ring, n=carry.samp.n + all_ys.shape[0])
         return GenCarry(ms=ms, samp=samp), out
@@ -824,7 +854,7 @@ def generate_ephemeris(
         precision=precision, perturbations=perturbations,
     )
     n_steps = int(round(abs(span.as_seconds()) / prop.dt_s))
-    chunk = chunk_steps or min(n_steps, 65536)
+    chunk = chunk_steps or min(n_steps, CHUNK_STEPS)
 
     names = prop.names
     parts: dict[str, list[np.ndarray]] = {n: [] for n in names}
@@ -832,6 +862,11 @@ def generate_ephemeris(
     pending = None
     while done < n_steps:
         this = min(chunk, n_steps - done)
+        if chunk_steps is None and this < chunk:
+            # bucket the tail to the next power of two (slight coverage
+            # overshoot): keeps the set of compiled chunk shapes bounded
+            # (see CHUNK_STEPS)
+            this = min(1 << max(this - 1, 1).bit_length(), chunk)
         # dispatch chunk k+1 BEFORE fetching chunk k's coefficients: the
         # host transfer overlaps the next chunk's device integration
         fetch = prop.step_chunk_async(this)

@@ -21,7 +21,9 @@ Rebuilds the reference's spacecraft stack
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from dataclasses import dataclass
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -188,6 +190,15 @@ REASON_NAMES = {
 }
 
 
+# Canonical knot-buffer capacity. One value across every entry point
+# (propagate, propagate_ships, propagate_resuming, Universe.replan,
+# bench.py) so they share compiled shapes: max_knots is a static buffer
+# dimension, and each distinct value costs a full (remote) recompile per
+# method.  Long missions that overflow it resume transparently
+# (propagate_resuming / the fleet fallback).
+KNOT_CAPACITY = 8192
+
+
 class PropagationResult(NamedTuple):
     ts: jax.Array       # (K,) knot times (f64 s); padded with +inf
     pos: jax.Array      # (K, 3)
@@ -249,7 +260,7 @@ def propagate(
     vel0,
     end_t,
     params: AdaptiveParams,
-    max_knots: int = 16384,
+    max_knots: int = KNOT_CAPACITY,
 ) -> PropagationResult:
     """Propagate one spacecraft from t0 to end_t (jit/vmap friendly).
 
@@ -488,7 +499,7 @@ def propagate_resuming(
     vel0,
     end_s: float,
     params: AdaptiveParams,
-    max_knots: int = 16384,
+    max_knots: int = KNOT_CAPACITY,
     max_resumes: int = 1024,
 ) -> tuple[HermiteTrajectory, int]:
     """Propagate one ship, resuming whenever the knot buffer fills.
@@ -505,7 +516,10 @@ def propagate_resuming(
     import logging
 
     logger = logging.getLogger("ephemeris_explorer_tpu")
-    fn = _jitted_propagate_batch(method, params, max_knots)
+    backend = _propagate_backend(1)
+    if backend == "cpu":
+        packed = _host_packed(packed)
+    fn = _jitted_propagate_batch(method, params, max_knots, backend)
     tl_b = jax.tree_util.tree_map(lambda x: x[None], tl)
     traj: HermiteTrajectory | None = None
     reason = DONE_END
@@ -567,7 +581,7 @@ def propagate_ship(
     ephemeris,
     ship: Ship,
     until: Epoch | None = None,
-    max_knots: int = 16384,
+    max_knots: int = KNOT_CAPACITY,
     body_index: dict[str, int] | None = None,
 ) -> HermiteTrajectory:
     """Full mission propagation of one ship (spacecraft_propagation.rs path).
@@ -647,7 +661,7 @@ def propagate_batch(
     vel0s,                   # (B, 3)
     end_ts,                  # (B,)
     params: AdaptiveParams,
-    max_knots: int = 16384,
+    max_knots: int = KNOT_CAPACITY,
 ) -> PropagationResult:
     """vmapped fleet propagation: every ship runs the full segment-bounded
     adaptive driver in lockstep (divergent step counts are masked by the
@@ -660,28 +674,89 @@ def propagate_batch(
     return jax.vmap(one)(timelines, t0s, pos0s, vel0s, end_ts)
 
 
+# Small batches run on the HOST backend: spacecraft stepping at (B, 3)
+# shapes is dispatch-bound on an accelerator (~1 ms per adaptive step in a
+# B=1 device while_loop vs ~30 us on CPU), and replans are the interactive
+# path.  Large fleets amortise the dispatch across the batch and stay on
+# the device.  Crossover measured on the 64-ship fleet bench vs single-ship
+# replans; 16 is comfortably on the CPU-wins side for the latency cases
+# that matter (spawn: 1-4 ships, replan: 1).
+_CPU_BATCH_MAX = 16
+
+_HOST_PACKED_CACHE: "OrderedDict[int, tuple[object, PackedEphemeris]]" = OrderedDict()
+
+
+def _propagate_backend(batch: int) -> str | None:
+    import jax as _jax
+
+    if batch <= _CPU_BATCH_MAX and _jax.default_backend() != "cpu":
+        return "cpu"
+    return None
+
+
+def _host_packed(packed: PackedEphemeris) -> PackedEphemeris:
+    """numpy mirror of a device PackedEphemeris (one fetch per pack snapshot)."""
+    if isinstance(packed.coeffs, np.ndarray):
+        return packed
+    key = id(packed.coeffs)
+    hit = _HOST_PACKED_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
+    host = PackedEphemeris(*jax.device_get(tuple(packed)))
+    _HOST_PACKED_CACHE[key] = (packed.coeffs, host)
+    while len(_HOST_PACKED_CACHE) > 4:
+        _HOST_PACKED_CACHE.popitem(last=False)
+    return host
+
+
 # jit cache for batched propagation: re-jitting a fresh closure per call
 # would force a full (remote) recompilation every time
 _PROPAGATE_JIT_CACHE: dict = {}
 
 
-def _jitted_propagate_batch(method: str, params: AdaptiveParams, max_knots: int):
-    key = (method, params, max_knots)
+def _jitted_propagate_batch(method: str, params: AdaptiveParams, max_knots: int,
+                            backend: str | None = None):
+    """Compiled batch driver for (method, max_knots, backend).
+
+    The adaptive parameters enter as DYNAMIC scalars (one f64 7-vector +
+    the n_max int), not as part of the jit key: every use is pure
+    arithmetic inside the step controller, so editing a tolerance or step
+    bound in the UI must not trigger a fresh (minutes-long, on remote
+    toolchains) compile — the reference treats tolerance as run-time data
+    too (flight_plan.rs:124-184).
+
+    ``backend="cpu"`` compiles for the host: single-ship / small-batch
+    propagation is LATENCY work at (B, 3)-sized operands where a device
+    while_loop pays ~1 ms of dispatch per adaptive step — the CPU runs
+    the same program ~30x faster for B=1 while big fleets keep the
+    batched device path (see _propagate_backend).
+    """
+    key = (method, max_knots, backend)
     fn = _PROPAGATE_JIT_CACHE.get(key)
     if fn is None:
         tab = get_method(method)
 
-        @jax.jit
-        def fn(packed, tl, t0, p0, v0, et):
+        @partial(jax.jit, backend=backend)
+        def fn(packed, tl, t0, p0, v0, et, pf, n_max):
+            p = AdaptiveParams(
+                h_init=pf[0], h_max=pf[1], tol_pos=pf[2], tol_vel=pf[3],
+                fac_min=pf[4], fac_max=pf[5], fac=pf[6], n_max=n_max,
+            )
             return propagate_batch(
-                tab, packed, tl, t0, p0, v0, et, params, max_knots=max_knots
+                tab, packed, tl, t0, p0, v0, et, p, max_knots=max_knots
             )
 
         _PROPAGATE_JIT_CACHE[key] = fn
-    return fn
+    pf = np.asarray(
+        [params.h_init, params.h_max, params.tol_pos, params.tol_vel,
+         params.fac_min, params.fac_max, params.fac],
+        dtype=np.float64,
+    )
+    n_max = np.int64(params.n_max)
+    return lambda *args: fn(*args, pf, n_max)
 
 
-def propagate_ships(ephemeris, ships, until=None, max_knots: int = 16384):
+def propagate_ships(ephemeris, ships, until=None, max_knots: int = KNOT_CAPACITY):
     """Propagate a fleet of Ship configs, grouping by (integrator, tolerance).
 
     Returns {ship.name: HermiteTrajectory}.
@@ -697,18 +772,31 @@ def propagate_ships(ephemeris, ships, until=None, max_knots: int = 16384):
     out = {}
     for (method, tol), group in groups.items():
         params = ship_params(group[0])
-        tls = stack_timelines([build_timeline(s.burns, index) for s in group])
-        t0s = jnp.asarray([s.start.as_offset_seconds() for s in group])
-        p0s = jnp.asarray(np.stack([s.position for s in group]))
-        v0s = jnp.asarray(np.stack([s.velocity for s in group]))
-        ends = jnp.asarray(
-            [
-                (until or s.end).as_offset_seconds()
-                for s in group
-            ]
-        )
-        fn = _jitted_propagate_batch(method, params, max_knots)
-        r = fn(packed, tls, t0s, p0s, v0s, ends)
+        b = len(group)
+        # pad the batch to a power of two with INERT ships (end == start:
+        # they finish in one knot): the batch width is a static vmap shape,
+        # and each distinct width costs a full (remote) recompile per method
+        bpad = 1 << max(b - 1, 0).bit_length()
+        timelines = [build_timeline(s.burns, index) for s in group]
+        t0_list = [s.start.as_offset_seconds() for s in group]
+        p_list = [s.position for s in group]
+        v_list = [s.velocity for s in group]
+        end_list = [(until or s.end).as_offset_seconds() for s in group]
+        for _ in range(bpad - b):
+            timelines.append(timelines[0])
+            t0_list.append(t0_list[0])
+            p_list.append(p_list[0])
+            v_list.append(v_list[0])
+            end_list.append(t0_list[0])  # inert: end == start
+        tls = stack_timelines(timelines)
+        t0s = jnp.asarray(t0_list)
+        p0s = jnp.asarray(np.stack(p_list))
+        v0s = jnp.asarray(np.stack(v_list))
+        ends = jnp.asarray(end_list)
+        backend = _propagate_backend(bpad)
+        eph_in = _host_packed(packed) if backend == "cpu" else packed
+        fn = _jitted_propagate_batch(method, params, max_knots, backend)
+        r = fn(eph_in, tls, t0s, p0s, v0s, ends)
         # One batched device->host fetch for the whole group: slicing the
         # device arrays per ship costs ~5 relay round trips per ship
         # (count/reason syncs + ts/pos/vel prefix pulls) — ~300 round
