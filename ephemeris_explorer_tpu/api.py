@@ -22,7 +22,13 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from . import analysis, events
-from .ephemeris import CHUNK_STEPS, BodyEphemeris, Ephemeris, NBodyPropagator
+from .ephemeris import (
+    CHUNK_STEPS,
+    BodyEphemeris,
+    Ephemeris,
+    NBodyPropagator,
+    bucket_tail,
+)
 from .ftime import Duration, Epoch
 from .integrators.adaptive import AdaptiveParams
 from .integrators.methods import ADAPTIVE_METHODS, get as get_method
@@ -193,9 +199,12 @@ class PredictionTask:
         chunk_steps: int | None = None,
         synchronisation: "Synchronisation | None" = None,
     ):
+        # the package-canonical chunk so every entry point shares
+        # persistent-compile-cache entries (ephemeris.CHUNK_STEPS); an
+        # EXPLICIT chunk_steps is a contract — no canonical default and
+        # no tail bucketing
+        self._bucket_tails = chunk_steps is None
         if chunk_steps is None:
-            # the package-canonical chunk so every entry point shares
-            # persistent-compile-cache entries (ephemeris.CHUNK_STEPS)
             chunk_steps = CHUNK_STEPS
         self._prop = propagator
         self._target = target
@@ -259,14 +268,13 @@ class PredictionTask:
                 while self._pause.is_set() and not self._cancel.is_set():
                     self._pause.wait(0.05)
                 n = min(self._chunk, self._total - self._prop.steps_done)
-                if self._sync is None and n < self._chunk:
+                if self._bucket_tails and self._sync is None and n < self._chunk:
                     # bucket the tail chunk to the next power of two (the
                     # span overshoots slightly): arbitrary extension spans
                     # otherwise compile a fresh scan shape each — minutes
                     # per shape through a remote-compile toolchain.  The
                     # startup chunk must cover the multistep order.
-                    n = max(n, self._prop._tab.order + 1)
-                    n = min(1 << max(n - 1, 1).bit_length(), self._chunk)
+                    n = bucket_tail(n, self._chunk, min_n=self._prop._tab.order + 1)
                 first_seg = self._prop._segments_done(self._prop.steps_done)
                 t_chunk = time.perf_counter()
                 res = self._prop.step_chunk(n)

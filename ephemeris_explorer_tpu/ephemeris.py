@@ -53,6 +53,19 @@ from .ops.polyfit import MAX_COEFFS, fit_matrices, horner, horner_and_deriv
 CHUNK_STEPS = 13184
 
 
+def bucket_tail(n: int, chunk: int, min_n: int = 1) -> int:
+    """Round a tail chunk up to the next power of two, capped at ``chunk``.
+
+    Keeps the set of compiled scan shapes bounded (the span overshoots
+    slightly; see CHUNK_STEPS).  Applied ONLY when the caller did not pick
+    an explicit chunk size — an explicit chunk_steps is a contract.
+    ``min_n`` lets callers enforce a floor (e.g. the multistep order the
+    startup chunk must cover).
+    """
+    n = max(n, min_n)
+    return min(1 << max(n - 1, 1).bit_length(), chunk)
+
+
 # ---------------------------------------------------------------------------
 # Host-side per-body container (UniformSpline semantics)
 # ---------------------------------------------------------------------------
@@ -863,10 +876,7 @@ def generate_ephemeris(
     while done < n_steps:
         this = min(chunk, n_steps - done)
         if chunk_steps is None and this < chunk:
-            # bucket the tail to the next power of two (slight coverage
-            # overshoot): keeps the set of compiled chunk shapes bounded
-            # (see CHUNK_STEPS)
-            this = min(1 << max(this - 1, 1).bit_length(), chunk)
+            this = bucket_tail(this, chunk)
         # dispatch chunk k+1 BEFORE fetching chunk k's coefficients: the
         # host transfer overlaps the next chunk's device integration
         fetch = prop.step_chunk_async(this)

@@ -18,13 +18,13 @@ sign functions are evaluated on the identical cubic-Hermite interpolant.
 
 from __future__ import annotations
 
-from collections import OrderedDict
 from dataclasses import dataclass
 from typing import NamedTuple
 
 import numpy as np
 
 from .ephemeris import PackedEphemeris
+from .hostmirror import make_host_mirror
 
 ASCENDING = +1    # f goes - to +
 DESCENDING = -1   # f goes + to -
@@ -192,25 +192,20 @@ class _HostEph(NamedTuple):
     coeffs: np.ndarray
 
 
-# bounded cache keyed on the device coeffs buffer; holds a reference to the
-# device array so its id() cannot be recycled while the entry lives
-_HOST_CACHE: "OrderedDict[int, tuple[object, _HostEph]]" = OrderedDict()
+def _fetch_host_eph(eph) -> _HostEph:
+    import jax
+
+    return _HostEph(*jax.device_get(tuple(eph)))
+
+
+# bounded mirror cache keyed on the device coeffs buffer (see hostmirror)
+_host_mirror = make_host_mirror(_fetch_host_eph)
 
 
 def _host(eph: PackedEphemeris) -> _HostEph:
     if isinstance(eph.coeffs, np.ndarray):
         return _HostEph(*(np.asarray(x) for x in eph))
-    key = id(eph.coeffs)
-    hit = _HOST_CACHE.get(key)
-    if hit is not None:
-        return hit[1]
-    import jax
-
-    he = _HostEph(*jax.device_get(tuple(eph)))
-    _HOST_CACHE[key] = (eph.coeffs, he)
-    while len(_HOST_CACHE) > 4:
-        _HOST_CACHE.popitem(last=False)
-    return he
+    return _host_mirror(eph.coeffs, eph)
 
 
 def _horner(c: np.ndarray, tau: np.ndarray) -> np.ndarray:

@@ -21,9 +21,7 @@ Rebuilds the reference's spacecraft stack
 
 from __future__ import annotations
 
-from collections import OrderedDict
 from dataclasses import dataclass
-from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -32,6 +30,7 @@ import numpy as np
 
 from .ephemeris import PackedEphemeris
 from .ftime import Epoch
+from .hostmirror import make_host_mirror
 from .integrators import adaptive
 from .integrators.adaptive import AdaptiveParams, AdaptiveState
 from .integrators.methods import ERKNGTableau, get as get_method
@@ -530,10 +529,10 @@ def propagate_resuming(
         r = fn(
             packed,
             tl_b,
-            jnp.asarray([cur_t]),
-            jnp.asarray(cur_p)[None],
-            jnp.asarray(cur_v)[None],
-            jnp.asarray([end_s]),
+            np.asarray([cur_t], dtype=np.float64),
+            np.asarray(cur_p, dtype=np.float64)[None],
+            np.asarray(cur_v, dtype=np.float64)[None],
+            np.asarray([end_s], dtype=np.float64),
         )
         # single batched fetch, sliced to the used prefix (4 separate pulls
         # of mostly-padding buffers otherwise; see propagate_ships)
@@ -644,9 +643,12 @@ def stack_timelines(timelines: list[Timeline]) -> Timeline:
                 ),
             )
         padded.append(t)
+    # numpy out: callers hand the stack to jit (ships once) or device_put
+    # it with an explicit placement; an eager jnp conversion here would
+    # pin it to the default device even when the cpu path wants the host
     return Timeline(
         *(
-            jnp.asarray(np.stack([np.asarray(getattr(t, f)) for t in padded]))
+            np.stack([np.asarray(getattr(t, f)) for t in padded])
             for f in Timeline._fields
         )
     )
@@ -683,8 +685,6 @@ def propagate_batch(
 # that matter (spawn: 1-4 ships, replan: 1).
 _CPU_BATCH_MAX = 16
 
-_HOST_PACKED_CACHE: "OrderedDict[int, tuple[object, PackedEphemeris]]" = OrderedDict()
-
 
 def _propagate_backend(batch: int) -> str | None:
     import jax as _jax
@@ -694,19 +694,17 @@ def _propagate_backend(batch: int) -> str | None:
     return None
 
 
+# bounded device->host mirror keyed on the pack snapshot (see hostmirror)
+_packed_mirror = make_host_mirror(
+    lambda p: PackedEphemeris(*jax.device_get(tuple(p)))
+)
+
+
 def _host_packed(packed: PackedEphemeris) -> PackedEphemeris:
     """numpy mirror of a device PackedEphemeris (one fetch per pack snapshot)."""
     if isinstance(packed.coeffs, np.ndarray):
         return packed
-    key = id(packed.coeffs)
-    hit = _HOST_PACKED_CACHE.get(key)
-    if hit is not None:
-        return hit[1]
-    host = PackedEphemeris(*jax.device_get(tuple(packed)))
-    _HOST_PACKED_CACHE[key] = (packed.coeffs, host)
-    while len(_HOST_PACKED_CACHE) > 4:
-        _HOST_PACKED_CACHE.popitem(last=False)
-    return host
+    return _packed_mirror(packed.coeffs, packed)
 
 
 # jit cache for batched propagation: re-jitting a fresh closure per call
@@ -725,18 +723,21 @@ def _jitted_propagate_batch(method: str, params: AdaptiveParams, max_knots: int,
     toolchains) compile — the reference treats tolerance as run-time data
     too (flight_plan.rs:124-184).
 
-    ``backend="cpu"`` compiles for the host: single-ship / small-batch
+    ``backend="cpu"`` runs on the host: single-ship / small-batch
     propagation is LATENCY work at (B, 3)-sized operands where a device
     while_loop pays ~1 ms of dispatch per adaptive step — the CPU runs
     the same program ~30x faster for B=1 while big fleets keep the
-    batched device path (see _propagate_backend).
+    batched device path (see _propagate_backend).  Placement follows the
+    data (one jit object serves both): the cpu wrapper COMMITS every
+    operand to the host device with device_put, so nothing stages through
+    the accelerator relay on the interactive path.
     """
-    key = (method, max_knots, backend)
+    key = (method, max_knots)
     fn = _PROPAGATE_JIT_CACHE.get(key)
     if fn is None:
         tab = get_method(method)
 
-        @partial(jax.jit, backend=backend)
+        @jax.jit
         def fn(packed, tl, t0, p0, v0, et, pf, n_max):
             p = AdaptiveParams(
                 h_init=pf[0], h_max=pf[1], tol_pos=pf[2], tol_vel=pf[3],
@@ -753,6 +754,14 @@ def _jitted_propagate_batch(method: str, params: AdaptiveParams, max_knots: int,
         dtype=np.float64,
     )
     n_max = np.int64(params.n_max)
+    if backend == "cpu":
+        dev = jax.local_devices(backend="cpu")[0]
+
+        def call(*args):
+            moved = jax.device_put((*args, pf, n_max), dev)
+            return fn(*moved)
+
+        return call
     return lambda *args: fn(*args, pf, n_max)
 
 
@@ -788,11 +797,15 @@ def propagate_ships(ephemeris, ships, until=None, max_knots: int = KNOT_CAPACITY
             p_list.append(p_list[0])
             v_list.append(v_list[0])
             end_list.append(t0_list[0])  # inert: end == start
+        # operands stay NUMPY: the device path ships them once at the jit
+        # call; the cpu path commits them to the host device — either way
+        # an eager jnp.asarray here would stage them through the default
+        # (accelerator) device for nothing
         tls = stack_timelines(timelines)
-        t0s = jnp.asarray(t0_list)
-        p0s = jnp.asarray(np.stack(p_list))
-        v0s = jnp.asarray(np.stack(v_list))
-        ends = jnp.asarray(end_list)
+        t0s = np.asarray(t0_list, dtype=np.float64)
+        p0s = np.stack(p_list).astype(np.float64)
+        v0s = np.stack(v_list).astype(np.float64)
+        ends = np.asarray(end_list, dtype=np.float64)
         backend = _propagate_backend(bpad)
         eph_in = _host_packed(packed) if backend == "cpu" else packed
         fn = _jitted_propagate_batch(method, params, max_knots, backend)
