@@ -26,6 +26,10 @@ def make_host_mirror(build: Callable[[object], T], capacity: int = 4):
         key = id(dev_key)
         hit = cache.get(key)
         if hit is not None:
+            # LRU, not FIFO: a hot mirror must outlive cold ones, so a hit
+            # refreshes recency (otherwise >capacity live snapshots cycling
+            # would evict the hottest entry and re-fetch it every call)
+            cache.move_to_end(key)
             return hit[1]
         val = build(src)
         cache[key] = (dev_key, val)
@@ -33,4 +37,5 @@ def make_host_mirror(build: Callable[[object], T], capacity: int = 4):
             cache.popitem(last=False)
         return val
 
+    mirror.cache = cache  # exposed for tests (eviction/pinning gates)
     return mirror
