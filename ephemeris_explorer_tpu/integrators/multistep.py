@@ -597,6 +597,69 @@ def elm2_init_q(
     )
 
 
+def _split3_host(w: float):
+    """Exact host-side split of one f64 value into three f32 limbs."""
+    import numpy as np
+
+    c0 = np.float32(w)
+    r = w - float(c0)
+    c1 = np.float32(r)
+    c2 = np.float32(r - float(c1))
+    return float(c0), float(c1), float(c2)
+
+
+def _prescale_f128(coeffs, num: float, den: float) -> list:
+    """w_j = coeffs[j] * num / den with ONE f64 rounding each (f128 host math).
+
+    Folding the h^2/beta_d (or h/cowell_beta_d) factor into the weights
+    host-side removes the post-sum TwoFloat multiply from the device chain
+    — the weighted sum below then produces the INCREMENT directly.
+    """
+    import numpy as np
+
+    n128, d128 = np.float128(num), np.float128(den)
+    return [float(np.float64(np.float128(float(c)) * n128 / d128)) for c in coeffs]
+
+
+def _wsum_precise(weights, dd_hi, dd_lo) -> tuple:
+    """sum_j weights[j] * (dd_hi[j] + dd_lo[j]) as a 4-limb f32 expansion.
+
+    The beta rows cancel ~29x (QT12 c_dy: sum(|w_j f|)/|sum w_j f|), so an
+    (emulated-)f64 dot loses ~2^-48 * 29 of the RESULT per step — measured
+    as the dominant per-step noise of the expansion engines once the force
+    is 3-limb grade (docs/ACCURACY.md round 4).  Here each term is formed
+    with exact f32 two_prods (weights pre-split into three f32 limbs
+    host-side; everything below ~2^-70 of the term folds as plain f32) and
+    accumulated with the expansion renorm cascade, so cancellation does NOT
+    amplify rounding: total error ~2^-63 of the result.
+
+    All arithmetic is raw f32 EFT — exact on TPU's VPU and on CPU alike.
+    The weight limbs are broadcast to full arrays (never f32 scalars):
+    XLA:CPU re-rounds pure-scalar f32 sub-DAGs (measured hazard, see
+    ops/pallas_elm2.py module docstring).
+    """
+    acc = None
+    shape = dd_hi.shape[1:]
+    for j, w in enumerate(weights):
+        if w == 0.0:
+            continue
+        c0, c1, c2 = _split3_host(w)
+        b0 = jnp.full(shape, jnp.float32(c0))
+        hi_j, lo_j = dd_hi[j], dd_lo[j]
+        p, pe = eft.two_prod(hi_j, b0)
+        q, qe = eft.two_prod(lo_j, b0)
+        if c1 != 0.0:
+            b1 = jnp.full(shape, jnp.float32(c1))
+            r, re = eft.two_prod(hi_j, b1)
+            s = qe + re + lo_j * jnp.float32(c1) + hi_j * jnp.float32(c2)
+        else:
+            r = jnp.zeros(shape, jnp.float32)
+            s = qe + hi_j * jnp.float32(c2)
+        term = ex.renorm(p, pe, q, r, s)
+        acc = term if acc is None else ex.add(acc, term)
+    return acc
+
+
 def elm2_step_q(
     tab: ELMTableau,
     accel,
@@ -604,6 +667,7 @@ def elm2_step_q(
     carry: ELM2CarryQ,
     accel_limbs=None,
     with_velocity: bool = True,
+    precise_sums: bool = False,
 ) -> ELM2CarryQ:
     """One multistep step on the expansion state (one force evaluation).
 
@@ -617,11 +681,23 @@ def elm2_step_q(
     step time at N=4096) to :func:`elm2_velocity_q` at sample boundaries;
     the position update never reads ``dy``.  Requires a velocity-independent
     force.
+
+    ``precise_sums=True`` computes the beta sum with :func:`_wsum_precise`
+    over the (hi, lo) pair view of the acceleration ring instead of an
+    (emulated-)f64 dot — removing the ~2^-48 x cancellation per-step
+    increment noise.  The pair split of the ring is EXACT on TPU (emulated
+    f64 IS a pair); on native-f64 CPU it rounds at ~2^-48, so the flag is
+    a TPU-targeted rung.  Requires a concrete (non-traced) ``h``.
     """
     assert all(abs(c) in (0.0, 1.0, 2.0) for c in tab.c_y), tab.name
     sum1 = _exp_wsum_alpha(tab.c_y, carry.ys)
-    sum2 = _f64_wsum(tab.c_dy, carry.ddys)
-    y_new = ex.add(sum1, ex.from_f64(sum2 * (h * h / tab.beta_d)))
+    if precise_sums:
+        w = _prescale_f128(tab.c_dy, float(h) * float(h), float(tab.beta_d))
+        dd = _split_pair(carry.ddys)
+        y_new = ex.add(sum1, _wsum_precise(w, dd.hi, dd.lo))
+    else:
+        sum2 = _f64_wsum(tab.c_dy, carry.ddys)
+        y_new = ex.add(sum1, ex.from_f64(sum2 * (h * h / tab.beta_d)))
     t_new = carry.t + h
 
     needs_vel = getattr(accel_limbs, "needs_velocity", False) or (
@@ -640,11 +716,14 @@ def elm2_step_q(
 
     ddys_new = jnp.concatenate([ddy_new[None], carry.ddys[: tab.order - 1]])
     if with_velocity:
-        vel_sum = _f64_wsum(tab.cowell_beta_n, ddys_new)
-        y_prev = tuple(l[0] for l in carry.ys)
-        dy_new = ex.to_f64(ex.add(y_new, ex.neg(y_prev))) / h + vel_sum * (
-            h / tab.cowell_beta_d
-        )
+        diff = ex.to_f64(ex.add(y_new, ex.neg(tuple(l[0] for l in carry.ys)))) / h
+        if precise_sums:
+            wv = _prescale_f128(tab.cowell_beta_n, float(h), float(tab.cowell_beta_d))
+            ddv = _split_pair(ddys_new)
+            dy_new = diff + ex.to_f64(_wsum_precise(wv, ddv.hi, ddv.lo))
+        else:
+            vel_sum = _f64_wsum(tab.cowell_beta_n, ddys_new)
+            dy_new = diff + vel_sum * (h / tab.cowell_beta_d)
     else:
         dy_new = carry.dy
 
@@ -655,14 +734,19 @@ def elm2_step_q(
     return ELM2CarryQ(t=t_new, ys=ys_new, ddys=ddys_new, dy=dy_new)
 
 
-def elm2_velocity_q(tab: ELMTableau, carry: ELM2CarryQ, h) -> jax.Array:
+def elm2_velocity_q(
+    tab: ELMTableau, carry: ELM2CarryQ, h, precise_sums: bool = False
+) -> jax.Array:
     """Cowell velocity from an expansion carry (see :func:`elm2_velocity`)."""
-    vel_sum = _f64_wsum(tab.cowell_beta_n, carry.ddys)
     y_now = tuple(l[0] for l in carry.ys)
     y_prev = tuple(l[1] for l in carry.ys)
-    return ex.to_f64(ex.add(y_now, ex.neg(y_prev))) / h + vel_sum * (
-        h / tab.cowell_beta_d
-    )
+    diff = ex.to_f64(ex.add(y_now, ex.neg(y_prev))) / h
+    if precise_sums:
+        wv = _prescale_f128(tab.cowell_beta_n, float(h), float(tab.cowell_beta_d))
+        ddv = _split_pair(carry.ddys)
+        return diff + ex.to_f64(_wsum_precise(wv, ddv.hi, ddv.lo))
+    vel_sum = _f64_wsum(tab.cowell_beta_n, carry.ddys)
+    return diff + vel_sum * (h / tab.cowell_beta_d)
 
 
 # ---------------------------------------------------------------------------
@@ -739,8 +823,10 @@ def elm2_step_qf(
     return ELM2CarryQF(t=t_new, ys=ys_new, dd=dd_new, dy=carry.dy)
 
 
-def elm2_velocity_qf(tab: ELMTableau, carry: ELM2CarryQF, h) -> jax.Array:
-    return elm2_velocity_q(tab, elm2_qf_to_q(carry), h)
+def elm2_velocity_qf(
+    tab: ELMTableau, carry: ELM2CarryQF, h, precise_sums: bool = False
+) -> jax.Array:
+    return elm2_velocity_q(tab, elm2_qf_to_q(carry), h, precise_sums=precise_sums)
 
 
 # ---------------------------------------------------------------------------

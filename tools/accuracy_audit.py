@@ -104,7 +104,7 @@ def _dd_seed_carry(tab, mu, t0, pos, vel, h):
 
 def _chunk_runner(
     mode: str, tab, mu, t0, pos, vel, h, chunk_steps: int, device, pert_specs=(),
-    dd_startup: bool = False,
+    dd_startup: bool = False, precise_sums: bool = False,
 ):
     """(carry, step_chunk, extract_pos) for one engine mode."""
     # host-f64 copies BEFORE any device transfer: on TPU, f64 arrays round
@@ -198,7 +198,8 @@ def _chunk_runner(
                     y0_limbs=ex.from_f64_host(pos_host),
                 )
             step = lambda c: multistep.elm2_step_q(  # noqa: E731
-                tab, accel, h, c, accel_limbs=accel_limbs
+                tab, accel, h, c, accel_limbs=accel_limbs,
+                precise_sums=precise_sums,
             )
             extract = lambda c: sum(  # noqa: E731
                 np.asarray(l[0], dtype=np.float64) for l in c.ys
@@ -265,6 +266,7 @@ def audit(
     truth: str = "dd",
     traj_cache: str | None = None,
     dd_startup: bool = False,
+    precise_sums: bool = False,
 ) -> dict:
     """Integrate truth + candidate modes; return per-checkpoint max errors.
 
@@ -297,6 +299,8 @@ def audit(
             from pathlib import Path as _P
 
             seed_tag = "+ddstart" if (dd_startup and mode not in ("dd", "ddf", "ref64")) else ""
+            if precise_sums and mode.startswith("expansion"):
+                seed_tag += "+psums"
             key = f"{scene_name}_h{h:g}_s{total_steps}_c{checkpoints}_{mode}{seed_tag}.npy"
             cache_f = _P(traj_cache) / key
             if cache_f.exists():
@@ -309,7 +313,7 @@ def audit(
         carry, run_chunk, extract = _chunk_runner(
             mode, tab, state.mus(), state.epoch.as_offset_seconds(),
             state.positions(), state.velocities(), h, chunk, device,
-            dd_startup=dd_startup,
+            dd_startup=dd_startup, precise_sums=precise_sums,
         )
         traj = []
         for k in range(n_chunks):
@@ -439,6 +443,12 @@ def main(argv=None) -> int:
         help="directory to persist/reuse per-mode checkpoint trajectories",
     )
     p.add_argument(
+        "--precise-sums", action="store_true",
+        help="expansion modes: pair-precision beta sums over the (hi, lo) "
+        "acceleration-ring view (multistep._wsum_precise) instead of the "
+        "(emulated-)f64 dot — the ROADMAP 'TwoFloat ddys ring' rung",
+    )
+    p.add_argument(
         "--dd-startup", action="store_true",
         help="seed expansion engines from the ddf truth's dd startup ring "
         "(drift-bisection instrument: startup vs recursion)",
@@ -476,7 +486,7 @@ def main(argv=None) -> int:
     res = audit(
         args.scene, total_steps, args.checkpoints, modes, dt=args.dt,
         truth=args.truth, traj_cache=args.traj_cache,
-        dd_startup=args.dd_startup,
+        dd_startup=args.dd_startup, precise_sums=args.precise_sums,
     )
 
     per_body = res.pop("__per_body__", {})
