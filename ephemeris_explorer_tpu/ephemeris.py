@@ -54,16 +54,40 @@ CHUNK_STEPS = 13184
 
 
 def bucket_tail(n: int, chunk: int, min_n: int = 1) -> int:
-    """Round a tail chunk up to the next power of two, capped at ``chunk``.
+    """Round a tail chunk up to the bucket ladder, capped at ``chunk``.
 
     Keeps the set of compiled scan shapes bounded (the span overshoots
-    slightly; see CHUNK_STEPS).  Applied ONLY when the caller did not pick
-    an explicit chunk size — an explicit chunk_steps is a contract.
+    slightly; see CHUNK_STEPS).  The ladder is powers of two PLUS their
+    1.5x midpoints (one extra mantissa bit): overshoot is bounded at
+    b <= 1.5*(n-1) (asymptotically 33% of the tail) instead of the pow2
+    ladder's 100%, for 2x the (persistent-
+    cached, primeable via tools/prime_cache.py) shape universe — on the
+    ~400-day default-generation span this halves the round-3 ~6% extra-
+    steps regression (docs/PERF.md).  Applied ONLY when the caller did not
+    pick an explicit chunk size — an explicit chunk_steps is a contract.
     ``min_n`` lets callers enforce a floor (e.g. the multistep order the
     startup chunk must cover).
     """
     n = max(n, min_n)
-    return min(1 << max(n - 1, 1).bit_length(), chunk)
+    p = 1 << max(n - 1, 1).bit_length()  # next pow2 >= n
+    mid = 3 * (p // 4)                   # 1.5x the previous octave
+    if p >= 4 and mid >= n:
+        p = mid
+    return min(p, chunk)
+
+
+def bucket_ladder(chunk: int, min_n: int = 1) -> list:
+    """Every value :func:`bucket_tail` can produce for tails in
+    [min_n, chunk] — the canonical compile-shape set tools/prime_cache.py
+    primes."""
+    out = set()
+    n = max(min_n, 1)
+    while n <= chunk:
+        b = bucket_tail(n, chunk, min_n)
+        out.add(b)
+        n = b + 1
+    out.add(chunk)
+    return sorted(out)
 
 
 # ---------------------------------------------------------------------------

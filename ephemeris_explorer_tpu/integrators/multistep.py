@@ -798,17 +798,22 @@ def elm2_init_qf(
 
 
 def elm2_step_qf(
-    tab: ELMTableau, accel_pair, h, carry: ELM2CarryQF, interpret: bool = False
+    tab: ELMTableau, accel_pair, h, carry: ELM2CarryQF, interpret: bool = False,
+    precise_sums: bool = False,
 ) -> ELM2CarryQF:
     """One fused multistep step (one force evaluation, one update kernel).
 
     ``accel_pair(t, (l0, l1, l2)) -> (hi, lo)`` is the pair-returning force
     (:func:`..ops.pallas_nbody.pairwise_accel_limbs_pair`).  Velocity is
-    always deferred (:func:`elm2_velocity_qf`).
+    always deferred (:func:`elm2_velocity_qf`).  ``precise_sums`` selects
+    the pair-precision beta sum inside the update kernel (the fused twin
+    of :func:`elm2_step_q`'s flag).
     """
     from ..ops.pallas_elm2 import elm2q_update
 
-    y_new = elm2q_update(tab, h, carry.ys, carry.dd, interpret=interpret)
+    y_new = elm2q_update(
+        tab, h, carry.ys, carry.dd, interpret=interpret, precise=precise_sums
+    )
     t_new = carry.t + h
     fh, fl = accel_pair(t_new, (y_new[0], y_new[1], y_new[2]))
 
@@ -1016,7 +1021,7 @@ def elm2_qfp_to(carry: ELM2CarryQFP, shape: tuple) -> ELM2CarryQF:
 
 def elm2_step_qfp(
     tab: ELMTableau, accel_pair, h, carry: ELM2CarryQFP, shape: tuple,
-    interpret: bool = False,
+    interpret: bool = False, precise_sums: bool = False,
 ) -> ELM2CarryQFP:
     """One fused expansion-state multistep step on the PACKED carry.
 
@@ -1026,7 +1031,9 @@ def elm2_step_qfp(
     """
     from ..ops.pallas_elm2 import elm2q_update_packed
 
-    y_new = elm2q_update_packed(tab, h, carry.ys, carry.dd, interpret=interpret)
+    y_new = elm2q_update_packed(
+        tab, h, carry.ys, carry.dd, interpret=interpret, precise=precise_sums
+    )
     t_new = carry.t + h
     limbs = tuple(l.reshape(shape) for l in y_new[:3])
     fh, fl = accel_pair(t_new, limbs)

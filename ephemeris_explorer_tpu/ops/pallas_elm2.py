@@ -99,24 +99,51 @@ def _update_kernel(
     ys0_ref, ys1_ref, ys2_ref, ys3_ref, ddh_ref, ddl_ref,
     o0_ref, o1_ref, o2_ref, o3_ref,
     *, order: int, c_y: tuple, dy_nonzero: tuple, mt: int, sub: int, splat: bool,
+    precise: bool = False,
 ):
     """One block of the position update.
 
-    coef_ref: split c_dy rows + the h^2/beta_d factor (see _coef_reader).
-    Other refs: limb/pair rings (ORDER*SUB, MT/SUB) f32; outputs
-    (SUB, MT/SUB) f32.
+    coef_ref: split c_dy rows + the h^2/beta_d factor (see _coef_reader);
+    in ``precise`` mode, 3-limb PRE-SCALED weight rows (w_j = c_dy[j] *
+    h^2/beta_d, one f128 host rounding each).  Other refs: limb/pair rings
+    (ORDER*SUB, MT/SUB) f32; outputs (SUB, MT/SUB) f32.
     """
-    coef = _coef_reader(coef_ref, sub, mt, splat)
-    # weighted acceleration sum in TwoFloat arithmetic.  The c_dy
-    # coefficients alternate in sign with ~6x cancellation, so partial
-    # sums pass near zero: the accurate add is REQUIRED (add_sloppy's
-    # quick_two_sum precondition |s| >= |e| fails under cancellation).
-    acc = None
-    for j in dy_nonzero:
-        dd = TwoFloat(_row(ddh_ref, j, sub), _row(ddl_ref, j, sub))
-        term = eft.mul(dd, coef(j))
-        acc = term if acc is None else eft.add(acc, term)
-    inc = eft.mul(acc, coef(order))
+    if precise:
+        # pair-precision beta sum accumulated as a 4-limb expansion: the
+        # c_dy row cancels ~29x, so dd accumulation loses ~2^-49 x 29 of
+        # the increment per step (same grade as the emulated-f64 dot,
+        # measured 8.7e-14 on TPU); exact two_prod terms + expansion adds
+        # hold ~2^-60 (measured 8.4e-19 — integrators/multistep._wsum_precise
+        # is the jnp twin of this chain)
+        shape = (sub, mt // sub)
+        if splat:
+            cof = lambda j, k: jnp.full(shape, coef_ref[j, k])  # noqa: E731
+        else:
+            cof = lambda j, k: coef_ref[j, k, :].reshape(shape)  # noqa: E731
+        inc4 = None
+        for j in dy_nonzero:
+            hi_j = _row(ddh_ref, j, sub)
+            lo_j = _row(ddl_ref, j, sub)
+            b0, b1, b2 = cof(j, 0), cof(j, 1), cof(j, 2)
+            p, pe = eft.two_prod(hi_j, b0)
+            q, qe = eft.two_prod(lo_j, b0)
+            r, re = eft.two_prod(hi_j, b1)
+            s = qe + re + lo_j * b1 + hi_j * b2
+            term = ex.renorm(p, pe, q, r, s)
+            inc4 = term if inc4 is None else ex.add(inc4, term)
+    else:
+        coef = _coef_reader(coef_ref, sub, mt, splat)
+        # weighted acceleration sum in TwoFloat arithmetic.  The c_dy
+        # coefficients alternate in sign with ~6x cancellation, so partial
+        # sums pass near zero: the accurate add is REQUIRED (add_sloppy's
+        # quick_two_sum precondition |s| >= |e| fails under cancellation).
+        acc = None
+        for j in dy_nonzero:
+            dd = TwoFloat(_row(ddh_ref, j, sub), _row(ddl_ref, j, sub))
+            term = eft.mul(dd, coef(j))
+            acc = term if acc is None else eft.add(acc, term)
+        inc = eft.mul(acc, coef(order))
+        inc4 = ex.from_two(inc.hi, inc.lo)
 
     # alpha combination over the position ring (exact +-2^k scalings),
     # then the increment add - same add/renorm cascade as ops.expansion
@@ -129,7 +156,7 @@ def _update_kernel(
         cf = jnp.float32(c)
         term = tuple(_row(r, j, sub) * cf for r in refs)
         sum1 = term if sum1 is None else ex.add(sum1, term)
-    y_new = ex.add(sum1, ex.from_two(inc.hi, inc.lo))
+    y_new = ex.add(sum1, inc4)
 
     o0_ref[:, :] = y_new[0]
     o1_ref[:, :] = y_new[1]
@@ -150,11 +177,12 @@ def _lane_block(m: int, n_rings: int, order: int, max_lanes: int | None = None) 
 
 
 @partial(
-    jax.jit, static_argnames=("order", "c_y", "dy_nonzero", "sub", "interpret")
+    jax.jit,
+    static_argnames=("order", "c_y", "dy_nonzero", "sub", "interpret", "precise"),
 )
 def _elm2q_update_flat_sub(
     coef, ys0, ys1, ys2, ys3, ddh, ddl, *, order, c_y, dy_nonzero, sub=1,
-    interpret=False,
+    interpret=False, precise=False,
 ):
     """Pre-packed flat 4-limb update: rings (O*SUB, M/SUB) in, (SUB, M/SUB)
     out.  See :func:`_elm2f_update_flat_sub` for the packed-layout contract."""
@@ -168,10 +196,14 @@ def _elm2q_update_flat_sub(
     assert mt % sub == 0, (mt, sub)
     kernel = partial(
         _update_kernel, order=order, c_y=c_y, dy_nonzero=dy_nonzero,
-        mt=mt, sub=sub, splat=not interpret,
+        mt=mt, sub=sub, splat=not interpret, precise=precise,
     )
+    ncoef = 3 if precise else 2
+    coef_rows = o if precise else o + 1
     coef_spec = (
-        pl.BlockSpec((o + 1, 2, mt), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+        pl.BlockSpec(
+            (coef_rows, ncoef, mt), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        )
         if interpret
         else pl.BlockSpec(memory_space=pltpu.SMEM)
     )
@@ -190,12 +222,13 @@ def _elm2q_update_flat_sub(
 
 
 def _elm2q_update_flat(
-    coef, ys, ddh, ddl, *, order, c_y, dy_nonzero, interpret=False
+    coef, ys, ddh, ddl, *, order, c_y, dy_nonzero, interpret=False, precise=False
 ):
     o, m = ys[0].shape
     outs = _elm2q_update_flat_sub(
         coef, ys[0], ys[1], ys[2], ys[3], ddh, ddl,
         order=order, c_y=c_y, dy_nonzero=dy_nonzero, sub=1, interpret=interpret,
+        precise=precise,
     )
     return tuple(x.reshape(1, m) for x in outs)
 
@@ -207,27 +240,44 @@ def elm2_update_coeffs(tab, h: float) -> np.ndarray:
     return np.asarray(rows, dtype=np.float32)
 
 
-def _coef_array(tab, h: float, o: int, m: int, interpret: bool):
-    """(order+1, 2) for device SMEM, or pre-broadcast (order+1, 2, M) for
+def elm2_update_coeffs_precise(tab, h: float) -> np.ndarray:
+    """The (order, 3) PRE-SCALED 3-limb weight table for the precise beta
+    sum: w_j = c_dy[j] * h^2/beta_d with one f128 host rounding, split
+    exactly into three f32 limbs (multistep._prescale_f128/_split3_host)."""
+    from ..integrators.multistep import _prescale_f128, _split3_host
+
+    w = _prescale_f128(tab.c_dy, float(h) * float(h), float(tab.beta_d))
+    return np.asarray([_split3_host(x) for x in w], dtype=np.float32)
+
+
+def _coef_array(tab, h: float, o: int, m: int, interpret: bool,
+                precise: bool = False):
+    """(rows, k) for device SMEM, or pre-broadcast (rows, k, M) for
     interpret mode (see _coef_reader)."""
-    c = elm2_update_coeffs(tab, h)
+    c = (
+        elm2_update_coeffs_precise(tab, h) if precise
+        else elm2_update_coeffs(tab, h)
+    )
     if interpret:
-        return jnp.asarray(np.broadcast_to(c[:, :, None], (o + 1, 2, m)))
+        r, k = c.shape
+        return jnp.asarray(np.broadcast_to(c[:, :, None], (r, k, m)))
     return jnp.asarray(c)
 
 
-def elm2q_update(tab, h: float, ys: tuple, dd: TwoFloat, interpret: bool = False):
+def elm2q_update(tab, h: float, ys: tuple, dd: TwoFloat, interpret: bool = False,
+                 precise: bool = False):
     """y_{n+1} limbs from the (aligned) position/acceleration rings.
 
     ys: 4-tuple of (ORDER, N, 3) f32 limb arrays, newest first.
     dd: TwoFloat of (ORDER, N, 3) f32, dd[j] = f(ys[j]).
     Returns a 4-tuple of (N, 3) f32 limbs of y_{n+1}.
+    ``precise``: pair-precision beta sum (see _update_kernel).
     """
     o, n, three = ys[0].shape
     m = n * three
     flat = tuple(l.reshape(o, m) for l in ys)
     assert all(abs(c) in (0.0, 1.0, 2.0) for c in tab.c_y), tab.name
-    coef = _coef_array(tab, h, o, m, interpret)
+    coef = _coef_array(tab, h, o, m, interpret, precise)
     dy_nonzero = tuple(
         j for j, c in enumerate(tab.c_dy) if float(c) != 0.0
     )
@@ -240,6 +290,7 @@ def elm2q_update(tab, h: float, ys: tuple, dd: TwoFloat, interpret: bool = False
         c_y=tuple(float(c) for c in tab.c_y),
         dy_nonzero=dy_nonzero,
         interpret=interpret,
+        precise=precise,
     )
     return tuple(l.reshape(n, three) for l in outs)
 
@@ -422,7 +473,8 @@ def elm2f_update_packed(
 
 
 def elm2q_update_packed(
-    tab, h: float, ys: tuple, dd: TwoFloat, interpret: bool = False
+    tab, h: float, ys: tuple, dd: TwoFloat, interpret: bool = False,
+    precise: bool = False,
 ):
     """y_{n+1} limbs from PACKED 4-limb rings.
 
@@ -432,7 +484,7 @@ def elm2q_update_packed(
     o, sub, mp = ys[0].shape
     m = sub * mp
     assert all(abs(c) in (0.0, 1.0, 2.0) for c in tab.c_y), tab.name
-    coef = _coef_array(tab, h, o, m, interpret)
+    coef = _coef_array(tab, h, o, m, interpret, precise)
     dy_nonzero = tuple(j for j, c in enumerate(tab.c_dy) if float(c) != 0.0)
     return _elm2q_update_flat_sub(
         coef,
@@ -447,4 +499,5 @@ def elm2q_update_packed(
         dy_nonzero=dy_nonzero,
         sub=sub,
         interpret=interpret,
+        precise=precise,
     )

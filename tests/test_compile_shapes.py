@@ -101,15 +101,36 @@ def test_tolerance_edit_reuses_compiled_driver(sem_eph):
     assert len(fleet_b[tight.name].ts) > len(fleet_a[loose.name].ts)
 
 
+def test_bucket_tail_ladder_invariants():
+    """bucket_tail must cover (>= n), stay capped, keep relative overshoot
+    <= 33%, be idempotent, and emit only ladder values (the finite shape
+    set prime_cache compiles)."""
+    from ephemeris_explorer_tpu.ephemeris import bucket_ladder, bucket_tail
+
+    chunk = CHUNK_STEPS
+    ladder = set(bucket_ladder(chunk, min_n=13))
+    for n in list(range(13, 200)) + list(range(200, chunk + 1, 37)) + [chunk]:
+        b = bucket_tail(n, chunk, min_n=13)
+        assert b >= n
+        assert b <= chunk
+        if b < chunk:
+            # adjacent ladder rungs are 1.5x apart: b <= 1.5 * (n - 1)
+            assert b <= 1.5 * (n - 1) + 1, (n, b)
+        assert bucket_tail(b, chunk, min_n=13) == b  # idempotent
+        assert b in ladder, (n, b)
+    assert len(ladder) < 25  # the universe stays bounded
+
+
 @pytest.mark.slow
 def test_tail_bucket_still_covers_span():
-    """Default chunking buckets the tail chunk to a power of two (slight
-    overshoot allowed): generated coverage must still include the whole
-    requested span, and values must match an explicit single-chunk run."""
+    """Default chunking buckets the tail chunk to the pow2/1.5x ladder
+    (slight overshoot allowed): generated coverage must still include the
+    whole requested span, and values must match an explicit single-chunk
+    run."""
     sc = scene.load_scene(SYSTEMS / "sun_earth_moon_2433282.5")
     dt = sc.settings.dt.as_seconds()
-    # n_steps = CHUNK_STEPS + 5000: a non-pow2 tail that gets bucketed (to
-    # 8192), so coverage overshoots the requested span
+    # n_steps = CHUNK_STEPS + 5000: an off-ladder tail that gets bucketed
+    # (to 6144), so coverage overshoots the requested span
     n_steps = CHUNK_STEPS + 5000
     span = Duration.from_seconds(n_steps * dt)
     eph = generate_ephemeris(sc.state, sc.settings, span)

@@ -617,3 +617,72 @@ def test_distant_pair_weight_chain():
 
     assert rel(w_ship) < 1e-12, rel(w_ship)    # survives the flush
     assert rel(w_naive) > 1e-10, rel(w_naive)  # loses the lo words to FTZ
+
+
+@pytest.mark.skipif(not HAVE_PALLAS, reason="pallas unavailable")
+def test_fused_precise_sums_kernel():
+    """The precise beta-sum kernel path (elm2_step_qf(precise_sums=True)):
+    (a) tracks the unfused elm2_step_q(precise_sums=True) twin to the
+    expansion-increment precision on a single step, and (b) the packed
+    entry point is bitwise-identical to the unpacked one."""
+    from ephemeris_explorer_tpu.integrators import get, multistep
+    from ephemeris_explorer_tpu.ops import nbody
+    from ephemeris_explorer_tpu.ops.pallas_nbody import (
+        combine_f64, pairwise_accel_limbs_pair,
+    )
+
+    n = 8
+    rng = np.random.default_rng(9)
+    pos = rng.normal(size=(n, 3)) * 1.0e6
+    vel = rng.normal(size=(n, 3))
+    mu = rng.uniform(1.0e3, 1.0e5, size=n)
+    mu_j = jnp.asarray(mu)
+    mu_hi, mu_lo = split_f64(mu_j.reshape(1, -1))
+    h = 600.0
+    tab = get("QuinlanTremaine12")
+
+    accel = lambda t, y: nbody.pairwise_accel(y, mu_j)  # noqa: E731
+
+    def accel_limbs(t, limbs):
+        return combine_f64(
+            *pairwise_accel_limbs_pair(
+                limbs[0], limbs[1], limbs[2], mu_hi, mu_lo,
+                interpret=True, tile_rows=8, tile_cols=8,
+            )
+        )
+
+    def accel_pair(t, limbs):
+        return pairwise_accel_limbs_pair(
+            limbs[0], limbs[1], limbs[2], mu_hi, mu_lo,
+            interpret=True, tile_rows=8, tile_cols=8,
+        )
+
+    q = multistep.elm2_init_q(tab, accel, 0.0, jnp.asarray(pos), jnp.asarray(vel), h)
+    qf = multistep.elm2_qf_from_q(q)
+
+    q1 = multistep.elm2_step_q(
+        tab, accel, h, q, accel_limbs=accel_limbs, with_velocity=False,
+        precise_sums=True,
+    )
+    qf1 = multistep.elm2_step_qf(
+        tab, accel_pair, h, qf, interpret=True, precise_sums=True
+    )
+    y1q = np.asarray(ex_to_f64(q1.ys))
+    y1f = np.asarray(ex_to_f64(qf1.ys))
+    np.testing.assert_allclose(y1f, y1q, atol=np.abs(y1q).max() * 2.0**-50, rtol=0)
+
+    # packed twin: same values as the unpacked kernel.  On real Mosaic the
+    # layouts are bitwise-identical (elementwise kernel); under interpret
+    # mode XLA:CPU fuses the renorm cascades differently per layout and
+    # the DEEP limbs (~2^-60 of the value) round differently — the known
+    # re-rounding hazard (ops/pallas_elm2.py docstring) — so CI asserts
+    # value-level equality at the two-float floor instead of bitwise.
+    qfp = multistep.elm2_qfp_from(qf, sub=4)
+    qfp1 = multistep.elm2_step_qfp(
+        tab, accel_pair, h, qfp, shape=(n, 3), interpret=True,
+        precise_sums=True,
+    )
+    back = multistep.elm2_qfp_to(qfp1, (n, 3))
+    yb = np.asarray(ex_to_f64(back.ys))
+    np.testing.assert_allclose(yb, y1f, atol=np.abs(y1f).max() * 2.0**-50, rtol=0)
+    np.testing.assert_array_equal(np.asarray(back.dd.hi), np.asarray(qf1.dd.hi))

@@ -352,3 +352,71 @@ def test_fused_ensemble_scan_fp_matches_f():
     np.testing.assert_allclose(
         np.asarray(out_fp.dy), np.asarray(out_f.dy), rtol=5e-16, atol=0
     )
+
+
+@pytest.mark.slow
+def test_rowsharded_scan_f_at_scale():
+    """Production composition past toy scale (round-4 item): N=1024 rows
+    sharded 8 ways, ORDER+2 steps — the ring shift x all_gather interplay
+    runs PAST the startup ring, with non-trivial tile boundaries (128 local
+    rows, 256-column tiles).  Bitwise vs the unsharded fused scan, same
+    tile_cols.  Interpret-mode Pallas; marked slow (~minutes on CPU CI)."""
+    from ephemeris_explorer_tpu.integrators.multistep import (
+        elm2_f_from, elm2_init, elm2_step_f, elm2_velocity_f,
+    )
+    from ephemeris_explorer_tpu.ops.eft import TwoFloat
+    from ephemeris_explorer_tpu.ops.pallas_nbody import (
+        pairwise_accel_df64, split_f64,
+    )
+
+    n = 1024
+    rng = np.random.default_rng(11)
+    # two clusters so distant/close pair geometries both occur
+    pos = np.concatenate([
+        rng.normal(size=(n // 2, 3)) * 1e6,
+        rng.normal(size=(n // 2, 3)) * 1e6 + 4e7,
+    ])
+    vel = rng.normal(size=(n, 3))
+    mu = rng.uniform(1e3, 1e5, n)
+    tab = get("QuinlanTremaine12")
+    h = 600.0
+    steps = tab.order + 2
+    tiles = dict(tile_rows=64, tile_cols=256)
+
+    mu_j = jnp.asarray(mu)
+    accel = lambda t, y: nbody.pairwise_accel(y, mu_j)  # noqa: E731
+    carry0 = elm2_f_from(
+        elm2_init(tab, accel, 0.0, jnp.asarray(pos), jnp.asarray(vel), h)
+    )
+
+    mu_hi, mu_lo = split_f64(mu_j.reshape(1, -1))
+
+    def accel_pair(t, y):
+        ah, al = pairwise_accel_df64(
+            y.hi.T, y.lo.T, mu_hi, mu_lo, interpret=True, **tiles
+        )
+        return TwoFloat(ah, al)
+
+    @jax.jit
+    def ref_scan(c):
+        def body(c, _):
+            return elm2_step_f(tab, accel_pair, h, c, interpret=True), None
+
+        c, _ = jax.lax.scan(body, c, None, length=steps)
+        return c._replace(dy=elm2_velocity_f(tab, c, h))
+
+    ref = ref_scan(carry0)
+
+    mesh = sh.make_mesh(data=1, model=8)
+    run, to_f = sh.make_rowsharded_scan_f(
+        mesh, tab, mu, h, steps, interpret=True, **tiles
+    )
+    out = run(carry0)
+
+    assert np.all(np.isfinite(np.asarray(out.ys.hi)))
+    np.testing.assert_array_equal(np.asarray(out.ys.hi), np.asarray(ref.ys.hi))
+    np.testing.assert_array_equal(np.asarray(out.ys.lo), np.asarray(ref.ys.lo))
+    np.testing.assert_array_equal(np.asarray(out.dd.hi), np.asarray(ref.dd.hi))
+    np.testing.assert_allclose(
+        np.asarray(out.dy), np.asarray(ref.dy), rtol=5e-16, atol=0
+    )
