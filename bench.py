@@ -220,7 +220,13 @@ def bench_parity() -> dict:
     @jax.jit
     def chunk(carry):
         def body(c, _):
-            return elm2_step_qfp(tab, accel_pair, h, c, shape), None
+            # precise beta sums = the shipping accuracy arithmetic (round 4:
+            # 10-y worst body 9.0 -> 0.84 m vs the 2^-106 truth); the bench
+            # times the engine the accuracy story actually rests on
+            return (
+                elm2_step_qfp(tab, accel_pair, h, c, shape, precise_sums=True),
+                None,
+            )
 
         c, _ = jax.lax.scan(body, carry, None, length=STEPS_PER_CHUNK)
         # Cowell velocity deferred out of the scan (production generation

@@ -499,6 +499,7 @@ class GenSpec:
     counts: tuple[int, ...]          # per-body sample stride in steps
     degrees: tuple[int, ...]
     perturbations: tuple = ()        # ops.perturbations specs (hashable)
+    precise_sums: bool = False       # pair-precision beta sums (extended modes)
 
     @property
     def backward(self) -> bool:
@@ -523,6 +524,7 @@ class NBodyPropagator:
         method: str = "QuinlanTremaine12",
         precision: str = "auto",
         perturbations: tuple = (),
+        precise_sums: bool | None = None,
     ):
         """precision: "f64" (reference-equivalent; CPU-exact), "extended"
         (quad-f32 expansion position state - the TPU long-horizon mode, see
@@ -533,7 +535,14 @@ class NBodyPropagator:
         2^-48 emulation, f64 elsewhere).
 
         perturbations: tuple of ops.perturbations specs (hashable); empty =
-        the reference's Newtonian point-mass model."""
+        the reference's Newtonian point-mass model.
+
+        precise_sums: pair-precision beta sums in the multistep update
+        (multistep._wsum_precise) — removes the ~2^-48 x cancellation
+        per-step increment noise that was the decade-scale moon random walk
+        (10-y worst body 9.0 -> 0.84 m vs the 2^-106 truth, docs/ACCURACY.md
+        round 4).  None = auto: ON for the extended precisions (where the
+        emulated-f64 dot is the noise floor), OFF for "f64"."""
         names = [b.name for b in state.bodies]
         missing = [n for n in names if n not in settings.settings]
         if missing:
@@ -548,9 +557,12 @@ class NBodyPropagator:
         if precision not in ("f64", "extended", "extended3", "extendedF"):
             raise ValueError(precision)
         self.precision = precision
+        if precise_sums is None:
+            precise_sums = precision in ("extended", "extended3", "extendedF")
         self.spec = GenSpec(
             method=method, h=h, counts=counts, degrees=degrees,
             perturbations=tuple(perturbations),
+            precise_sums=bool(precise_sums),
         )
         self.names = names
         self.mus = state.mus()
@@ -795,6 +807,7 @@ def _chunk_fn(spec: "GenSpec", precision: str, n_scan: int, startup: bool, nn_ca
                 ms = elm2_step_q(
                     tab, accel, h, ms, accel_limbs=accel_limbs,
                     with_velocity=not lazy_vel,
+                    precise_sums=spec.precise_sums,
                 )
                 y_now = ex.to_f64(tuple(l[0] for l in ms.ys))
             else:
@@ -852,7 +865,8 @@ def _chunk_fn(spec: "GenSpec", precision: str, n_scan: int, startup: bool, nn_ca
             from .integrators.multistep import elm2_velocity, elm2_velocity_q
 
             ms = ms._replace(
-                dy=elm2_velocity_q(tab, ms, h) if extended
+                dy=elm2_velocity_q(tab, ms, h, precise_sums=spec.precise_sums)
+                if extended
                 else elm2_velocity(tab, ms, h)
             )
         all_ys = (
@@ -879,6 +893,7 @@ def generate_ephemeris(
     chunk_steps: int | None = None,
     precision: str = "auto",
     perturbations: tuple = (),
+    precise_sums: bool | None = None,
 ) -> Ephemeris:
     """Generate a full system ephemeris over `span` (one direction).
 
@@ -889,6 +904,7 @@ def generate_ephemeris(
     prop = NBodyPropagator(
         state, settings, direction=direction, method=method,
         precision=precision, perturbations=perturbations,
+        precise_sums=precise_sums,
     )
     n_steps = int(round(abs(span.as_seconds()) / prop.dt_s))
     chunk = chunk_steps or min(n_steps, CHUNK_STEPS)

@@ -182,14 +182,17 @@ def make_rowsharded_scan_f(
 
 
 def make_rowsharded_scan_qf(
-    mesh: Mesh, tab, mus, h, n_steps: int, interpret: bool = False, **force_tiles
+    mesh: Mesh, tab, mus, h, n_steps: int, interpret: bool = False,
+    precise_sums: bool = False, **force_tiles
 ):
     """Row-sharded PARITY engine: 4-limb expansion rings sharded over
     "model", 3-limb rectangular force kernel + shard-local fused update.
 
     The full-precision (~2^-90 state, error-free pair differences) engine
     of the accuracy story, scaled over the N axis.  Returns (run, to_qf);
-    feed ``to_qf(elm2_init_q(...))`` carries.
+    feed ``to_qf(elm2_init_q(...))`` carries.  ``precise_sums`` selects the
+    pair-precision beta sum in the update kernel (shard-local — the
+    composition with all_gather is unchanged).
     """
     from ..integrators.multistep import (
         ELM2CarryQF, elm2_qf_from_q, elm2_step_qf, elm2_velocity_qf,
@@ -214,7 +217,13 @@ def make_rowsharded_scan_qf(
             )
 
         def body(c, _):
-            return elm2_step_qf(tab, accel_pair, h, c, interpret=interpret), None
+            return (
+                elm2_step_qf(
+                    tab, accel_pair, h, c, interpret=interpret,
+                    precise_sums=precise_sums,
+                ),
+                None,
+            )
 
         c, _ = jax.lax.scan(body, carry, None, length=n_steps)
         return c._replace(dy=elm2_velocity_qf(tab, c, h))

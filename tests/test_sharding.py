@@ -420,3 +420,60 @@ def test_rowsharded_scan_f_at_scale():
     np.testing.assert_allclose(
         np.asarray(out.dy), np.asarray(ref.dy), rtol=5e-16, atol=0
     )
+
+
+def test_rowsharded_scan_qf_precise_sums():
+    """The row-sharded parity engine with precise beta sums matches the
+    unsharded fused engine with the same flag.  Value-level (2^-50 of the
+    position) rather than bitwise: under interpret mode XLA:CPU fuses the
+    expansion renorm cascades differently per layout (the known re-rounding
+    hazard, ops/pallas_elm2.py docstring); on real Mosaic the composition
+    is exercised by tools/tpu_smoke.py."""
+    from ephemeris_explorer_tpu.integrators.multistep import (
+        elm2_init_q, elm2_qf_from_q, elm2_step_qf,
+    )
+    from ephemeris_explorer_tpu.ops.pallas_nbody import (
+        pairwise_accel_limbs_pair, split_f64,
+    )
+
+    n = 32
+    rng = np.random.default_rng(13)
+    pos = rng.normal(size=(n, 3)) * 1e6
+    vel = rng.normal(size=(n, 3))
+    mu = rng.uniform(1e3, 1e5, n)
+    tab = get("QuinlanTremaine12")
+    h = 600.0
+    steps = 6
+
+    mu_j = jnp.asarray(mu)
+    accel = lambda t, y: nbody.pairwise_accel(y, mu_j)  # noqa: E731
+    carry0 = elm2_qf_from_q(
+        elm2_init_q(tab, accel, 0.0, jnp.asarray(pos), jnp.asarray(vel), h)
+    )
+
+    mu_hi, mu_lo = split_f64(mu_j.reshape(1, -1))
+
+    def accel_pair(t, limbs):
+        return pairwise_accel_limbs_pair(
+            limbs[0], limbs[1], limbs[2], mu_hi, mu_lo,
+            tile_rows=8, tile_cols=16, interpret=True,
+        )
+
+    ref = carry0
+    for _ in range(steps):
+        ref = elm2_step_qf(
+            tab, accel_pair, h, ref, interpret=True, precise_sums=True
+        )
+
+    mesh = sh.make_mesh(data=1, model=8)
+    run, to_qf = sh.make_rowsharded_scan_qf(
+        mesh, tab, mu, h, steps, interpret=True, precise_sums=True,
+        tile_rows=8, tile_cols=16,
+    )
+    out = run(carry0)
+
+    y_ref = sum(np.asarray(l, np.float64) for l in ref.ys)
+    y_out = sum(np.asarray(l, np.float64) for l in out.ys)
+    np.testing.assert_allclose(
+        y_out, y_ref, atol=np.abs(y_ref).max() * 2.0**-50, rtol=0
+    )

@@ -237,7 +237,8 @@ def _chunk_runner(
                 )
             )
             step = lambda c: multistep.elm2_step_qf(  # noqa: E731
-                tab, accel_pair, h, c, interpret=interp
+                tab, accel_pair, h, c, interpret=interp,
+                precise_sums=precise_sums,
             )
             extract = lambda c: sum(  # noqa: E731
                 np.asarray(l[0], dtype=np.float64) for l in c.ys
@@ -299,7 +300,7 @@ def audit(
             from pathlib import Path as _P
 
             seed_tag = "+ddstart" if (dd_startup and mode not in ("dd", "ddf", "ref64")) else ""
-            if precise_sums and mode.startswith("expansion"):
+            if precise_sums and (mode.startswith("expansion") or mode == "fused"):
                 seed_tag += "+psums"
             key = f"{scene_name}_h{h:g}_s{total_steps}_c{checkpoints}_{mode}{seed_tag}.npy"
             cache_f = _P(traj_cache) / key

@@ -103,10 +103,17 @@ def main(argv=None) -> int:
     from ephemeris_explorer_tpu.io.scene import Ship
     from ephemeris_explorer_tpu.spacecraft import propagate_ships
 
-    print("[prime] context for replan drivers (3 d)", flush=True)
-    eph = generate_ephemeris(sc.state, sc.settings, Duration.from_days(3.0))
+    # 40 d: short spans commit ZERO complete spline segments for slow
+    # bodies (the Sun's segment interval alone exceeds 3 days), leaving no
+    # commonly-covered epoch to seed the ships from
+    print("[prime] context for replan drivers (40 d)", flush=True)
+    eph = generate_ephemeris(sc.state, sc.settings, Duration.from_days(40.0))
     t0s = sc.state.epoch
-    e0, v0 = eph[eph.names[0]].state_vector(t0s.as_offset_seconds() + 600.0)
+    sv = eph[eph.names[0]].state_vector(
+        t0s.as_offset_seconds() + 20.0 * 86400.0
+    )
+    assert sv is not None, "context covers no common epoch"
+    e0, v0 = sv
     for w in widths:
         ships = [
             Ship(
