@@ -26,7 +26,7 @@ class build_ext_ctypes(build_ext):
         return super().get_export_symbols(ext)
 
     def get_ext_filename(self, ext_name):
-        if "_eet_native" in ext_name:
+        if "_eet_native" in ext_name or "_eet_ddtruth" in ext_name:
             # fixed name (no ABI tag): ctypes.CDLL finds it on any Python
             return ext_name.replace(".", "/") + ".so"
         return super().get_ext_filename(ext_name)
@@ -43,7 +43,21 @@ setup(
             # native.py keeps -march=native for the local checkout)
             libraries=["pthread"],
             optional=True,
-        )
+        ),
+        CTypesExtension(
+            "ephemeris_explorer_tpu._eet_ddtruth",
+            sources=["native/eet_ddtruth.cpp"],
+            # -ffp-contract=off is load-bearing: the dd truth's error-free
+            # transforms break under FMA contraction.  ddtruth_native.py
+            # verifies bitwise equality with the numpy twin at load time
+            # and rejects a mis-built library.
+            extra_compile_args=[
+                "-O3", "-std=c++17", "-ffp-contract=off", "-fno-math-errno",
+                "-fvisibility=default",
+            ],
+            libraries=["pthread"],
+            optional=True,
+        ),
     ],
     cmdclass={"build_ext": build_ext_ctypes},
 )

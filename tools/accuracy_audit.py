@@ -167,7 +167,7 @@ def _chunk_runner(
             # compiled composition silently degrades the dd force to f64
             # grade (~1e-15 rel vs the f128 oracle; numpy holds ~3e-19 —
             # see the truth_np module docstring for both measurements).
-            from ephemeris_explorer_tpu import truth_np
+            from ephemeris_explorer_tpu import ddtruth_native, truth_np
 
             mu_np = np.asarray(mu, dtype=np.float64)
             carry = truth_np.elm2_init(
@@ -176,10 +176,17 @@ def _chunk_runner(
             )
             extract = lambda c: c.ys.hi[0] + c.ys.lo[0]  # noqa: E731
 
-            def run_chunk_np(c):
-                for _ in range(chunk_steps):
-                    c = truth_np.elm2_step(tab, mu_np, h, c)
-                return c
+            if ddtruth_native.available():
+                # bit-identical compiled stepper (load-time bitwise gate +
+                # tests/test_ddtruth_native.py); same trajectory, ~minutes
+                # instead of hours for the century truth
+                def run_chunk_np(c):
+                    return ddtruth_native.run_chunk(tab, mu_np, h, c, chunk_steps)
+            else:
+                def run_chunk_np(c):
+                    for _ in range(chunk_steps):
+                        c = truth_np.elm2_step(tab, mu_np, h, c)
+                    return c
 
             return carry, run_chunk_np, extract
         elif mode in ("ref64", "plain"):
