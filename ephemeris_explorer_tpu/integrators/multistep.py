@@ -621,6 +621,17 @@ def _prescale_f128(coeffs, num: float, den: float) -> list:
     return [float(np.float64(np.float128(float(c)) * n128 / d128)) for c in coeffs]
 
 
+def _dekker_split_f32_host(v: float):
+    """Host twin of eft.split for f32 (splitter 2^12 + 1), exact."""
+    import numpy as np
+
+    a = np.float32(v)
+    c = np.float32(4097.0) * a
+    hi = c - (c - a)
+    lo = a - hi
+    return float(hi), float(lo)
+
+
 def _wsum_precise(weights, dd_hi, dd_lo) -> tuple:
     """sum_j weights[j] * (dd_hi[j] + dd_lo[j]) as a 4-limb f32 expansion.
 
@@ -631,33 +642,67 @@ def _wsum_precise(weights, dd_hi, dd_lo) -> tuple:
     with exact f32 two_prods (weights pre-split into three f32 limbs
     host-side; everything below ~2^-70 of the term folds as plain f32) and
     accumulated with the expansion renorm cascade, so cancellation does NOT
-    amplify rounding: total error ~2^-63 of the result.
+    amplify rounding: total error ~2^-60 of the result.
+
+    Shape strategy (round 4): the whole chain runs ONCE on the stacked
+    (J, ...) ring with (J, 1...) weight-limb constants, and the J terms
+    tree-reduce with ex.add — at generation scale (N=32) the scan body is
+    op-DISPATCH bound, and the original per-coefficient Python loop emitted
+    ~12x the ops for the same arithmetic (measured 2.4x on warm 1-year
+    full_solar_system generation: 985 -> 410 sim-days/s; this layout
+    recovers most of it).  The weights' own Dekker splits are also
+    precomputed host-side (they are constants), halving the two_prod cost.
 
     All arithmetic is raw f32 EFT — exact on TPU's VPU and on CPU alike.
     The weight limbs are broadcast to full arrays (never f32 scalars):
     XLA:CPU re-rounds pure-scalar f32 sub-DAGs (measured hazard, see
     ops/pallas_elm2.py module docstring).
     """
-    acc = None
-    shape = dd_hi.shape[1:]
-    for j, w in enumerate(weights):
-        if w == 0.0:
-            continue
-        c0, c1, c2 = _split3_host(w)
-        b0 = jnp.full(shape, jnp.float32(c0))
-        hi_j, lo_j = dd_hi[j], dd_lo[j]
-        p, pe = eft.two_prod(hi_j, b0)
-        q, qe = eft.two_prod(lo_j, b0)
-        if c1 != 0.0:
-            b1 = jnp.full(shape, jnp.float32(c1))
-            r, re = eft.two_prod(hi_j, b1)
-            s = qe + re + lo_j * jnp.float32(c1) + hi_j * jnp.float32(c2)
+    import numpy as np
+
+    idx = [j for j, w in enumerate(weights) if w != 0.0]
+    if len(idx) != len(weights):
+        dd_hi = dd_hi[np.array(idx)]
+        dd_lo = dd_lo[np.array(idx)]
+    ws = [weights[j] for j in idx]
+
+    # (J, 1, ...) weight-limb constants + their host-side Dekker splits
+    bshape = (len(ws),) + (1,) * (dd_hi.ndim - 1)
+    limbs = [_split3_host(w) for w in ws]
+
+    def const(vals):
+        return jnp.asarray(np.array(vals, np.float32).reshape(bshape))
+
+    b0 = const([l[0] for l in limbs])
+    b1 = const([l[1] for l in limbs])
+    b2 = const([l[2] for l in limbs])
+    b0h, b0l = (const(v) for v in zip(*(_dekker_split_f32_host(l[0]) for l in limbs)))
+    b1h, b1l = (const(v) for v in zip(*(_dekker_split_f32_host(l[1]) for l in limbs)))
+
+    hi_h, hi_l = eft.split(dd_hi)
+    lo_h, lo_l = eft.split(dd_lo)
+    p, pe = eft.two_prod_presplit(dd_hi, hi_h, hi_l, b0, b0h, b0l)
+    q, qe = eft.two_prod_presplit(dd_lo, lo_h, lo_l, b0, b0h, b0l)
+    r, re = eft.two_prod_presplit(dd_hi, hi_h, hi_l, b1, b1h, b1l)
+    s = qe + re + dd_lo * b1 + dd_hi * b2
+    term = ex.renorm(p, pe, q, r, s)  # (J, ...) 4-limb expansions
+
+    # tree-reduce over J: log2(J) ex.adds on halved arrays instead of J
+    # sequential full-size ones (same exact-grade arithmetic either way)
+    while term[0].shape[0] > 1:
+        j = term[0].shape[0]
+        half = j // 2
+        a = tuple(l[:half] for l in term)
+        b = tuple(l[half : 2 * half] for l in term)
+        summed = ex.add(a, b)
+        if j % 2:
+            term = tuple(
+                jnp.concatenate([sl, l[2 * half :]], axis=0)
+                for sl, l in zip(summed, term)
+            )
         else:
-            r = jnp.zeros(shape, jnp.float32)
-            s = qe + hi_j * jnp.float32(c2)
-        term = ex.renorm(p, pe, q, r, s)
-        acc = term if acc is None else ex.add(acc, term)
-    return acc
+            term = summed
+    return tuple(l[0] for l in term)
 
 
 def elm2_step_q(
