@@ -560,7 +560,24 @@ def main() -> None:
     args = p.parse_args()
 
     if args.config:
-        print(json.dumps(ALL_BENCHES[args.config]()))
+        result = ALL_BENCHES[args.config]()
+        print(json.dumps(result))
+        # keep the committed artifacts consistent with single-config re-runs
+        # (a clean re-measure of one contended config must not leave stale
+        # numbers in BENCH_all.json / BASELINE.published)
+        bench_path = REPO / "BENCH_all.json"
+        if bench_path.exists() and "value" in result:
+            all_results = json.loads(bench_path.read_text())
+            all_results[args.config] = result
+            bench_path.write_text(json.dumps(all_results, indent=2) + "\n")
+            baseline_path = REPO / "BASELINE.json"
+            baseline = json.loads(baseline_path.read_text())
+            baseline.setdefault("published", {})[args.config] = {
+                "value": result["value"],
+                "unit": result["unit"],
+                "metric": result["metric"],
+            }
+            baseline_path.write_text(json.dumps(baseline, indent=2) + "\n")
         return
     if not args.all:
         print(json.dumps(bench_headline()))
