@@ -632,6 +632,36 @@ def _dekker_split_f32_host(v: float):
     return float(hi), float(lo)
 
 
+def _two_sum_reduce(vals):
+    """Error-free tree sum along axis 0: (root, error terms).
+
+    ``root + sum(errs) == sum(vals)`` EXACTLY — every two_sum rounding is
+    captured in ``errs`` (a list of arrays totalling M-1 entries for M
+    inputs).  Each tree level is ONE vectorised two_sum on a halved array
+    (6 fused elementwise ops), so the whole reduce dispatches ~6*log2(M)
+    ops instead of M sequential compensated adds.
+
+    CAUTION: only reliable eager or traced-for-TPU.  Jitted on XLA:CPU
+    the fused composition folds the error terms to their algebraic zero
+    (measured: exact standalone, 7e-6 relative once fused after the
+    two_prod chain; ``lax.optimization_barrier`` around ``s``/``bb``/the
+    whole level does NOT survive CPU fusion codegen).  Callers route CPU
+    traces to native f64 instead — see :func:`_wsum_precise`.
+    """
+    errs = []
+    cur = vals
+    while cur.shape[0] > 1:
+        half = cur.shape[0] // 2
+        s, e = eft.two_sum(cur[:half], cur[half : 2 * half])
+        errs.append(e)
+        cur = (
+            jnp.concatenate([s, cur[2 * half :]], axis=0)
+            if cur.shape[0] % 2
+            else s
+        )
+    return cur[0], errs
+
+
 def _wsum_precise(weights, dd_hi, dd_lo) -> tuple:
     """sum_j weights[j] * (dd_hi[j] + dd_lo[j]) as a 4-limb f32 expansion.
 
@@ -640,20 +670,40 @@ def _wsum_precise(weights, dd_hi, dd_lo) -> tuple:
     as the dominant per-step noise of the expansion engines once the force
     is 3-limb grade (docs/ACCURACY.md round 4).  Here each term is formed
     with exact f32 two_prods (weights pre-split into three f32 limbs
-    host-side; everything below ~2^-70 of the term folds as plain f32) and
-    accumulated with the expansion renorm cascade, so cancellation does NOT
-    amplify rounding: total error ~2^-60 of the result.
+    host-side) and the terms accumulate through a CASCADED error-free
+    reduction, so cancellation does NOT amplify rounding.
 
-    Shape strategy (round 4): the whole chain runs ONCE on the stacked
-    (J, ...) ring with (J, 1...) weight-limb constants, and the J terms
-    tree-reduce with ex.add — at generation scale (N=32) the scan body is
-    op-DISPATCH bound, and the original per-coefficient Python loop emitted
-    ~12x the ops for the same arithmetic (measured 2.4x on warm 1-year
-    full_solar_system generation: 985 -> 410 sim-days/s; this layout
-    recovers most of it).  The weights' own Dekker splits are also
-    precomputed host-side (they are constants), halving the two_prod cost.
+    Accumulation strategy (round 4, second pass): the first version renormed
+    each term to a 4-limb expansion and tree-reduced with ex.add — correct,
+    but ~130 fused ops per tree level; at generation scale (N=32) the scan
+    body is op-DISPATCH bound and the chain cost 985 -> 650 sim-days/s.
+    This version never builds per-term expansions.  It splits the sum by
+    magnitude class and uses :func:`_two_sum_reduce` (6 ops/level):
 
-    All arithmetic is raw f32 EFT — exact on TPU's VPU and on CPU alike.
+      level 1: exact tree sum of the leading products p       (~|term|)
+      level 2: exact tree sum of {level-1 roundings, pe, q, r}    (~2^-24)
+      level 3: exact tree sum of {level-2 roundings, s}           (~2^-48)
+      level 4: plain f32 sum of the level-3 roundings             (~2^-62)
+
+    Levels 1-3 are error-free transforms (two_sum captures every rounding
+    and feeds it down), so the ONLY rounding in the whole reduction is
+    level 4's, at ~2^-80 of the largest term — far below the 2^-60-grade
+    budget, independent of cancellation.  The roots combine with two more
+    two_sums into a 4-limb expansion.
+
+    Backend routing: raw f32 EFT is exact eagerly and compiled for TPU
+    (see ops/expansion.py), but XLA:CPU's codegen reassociates the fused
+    composition and folds the error-free trees into plain f32 sums —
+    measured 8.4e-19 eager vs 6.6e-6 jitted, IDENTICALLY with
+    ``lax.optimization_barrier`` on every two_sum intermediate, on the
+    whole reduce, and with --xla_cpu_enable_fast_math=false (the barrier
+    survives HLO but not LLVM emission).  CPU TRACES therefore route to a
+    native-f64 dot (one correctly-rounded f64 product + sum per term:
+    ~2^-53 * cond ~ 1e-14 relative here, the same grade XLA:CPU left the
+    old renorm chain at, and far under the 1e-12 CI gate); eager and TPU
+    traces keep the exact cascade.  Production generation runs on TPU, so
+    the precise grade is what ships.
+
     The weight limbs are broadcast to full arrays (never f32 scalars):
     XLA:CPU re-rounds pure-scalar f32 sub-DAGs (measured hazard, see
     ops/pallas_elm2.py module docstring).
@@ -668,6 +718,19 @@ def _wsum_precise(weights, dd_hi, dd_lo) -> tuple:
 
     # (J, 1, ...) weight-limb constants + their host-side Dekker splits
     bshape = (len(ws),) + (1,) * (dd_hi.ndim - 1)
+
+    if isinstance(dd_hi, jax.core.Tracer) and jax.default_backend() == "cpu":
+        w64 = jnp.asarray(np.array(ws, np.float64).reshape(bshape))
+        r = jnp.sum(
+            w64 * (dd_hi.astype(jnp.float64) + dd_lo.astype(jnp.float64)),
+            axis=0,
+        )
+        l0 = r.astype(jnp.float32)
+        r1 = r - l0.astype(jnp.float64)
+        l1 = r1.astype(jnp.float32)
+        l2 = (r1 - l1.astype(jnp.float64)).astype(jnp.float32)
+        return (l0, l1, l2, jnp.zeros_like(l0))
+
     limbs = [_split3_host(w) for w in ws]
 
     def const(vals):
@@ -685,24 +748,19 @@ def _wsum_precise(weights, dd_hi, dd_lo) -> tuple:
     q, qe = eft.two_prod_presplit(dd_lo, lo_h, lo_l, b0, b0h, b0l)
     r, re = eft.two_prod_presplit(dd_hi, hi_h, hi_l, b1, b1h, b1l)
     s = qe + re + dd_lo * b1 + dd_hi * b2
-    term = ex.renorm(p, pe, q, r, s)  # (J, ...) 4-limb expansions
 
-    # tree-reduce over J: log2(J) ex.adds on halved arrays instead of J
-    # sequential full-size ones (same exact-grade arithmetic either way)
-    while term[0].shape[0] > 1:
-        j = term[0].shape[0]
-        half = j // 2
-        a = tuple(l[:half] for l in term)
-        b = tuple(l[half : 2 * half] for l in term)
-        summed = ex.add(a, b)
-        if j % 2:
-            term = tuple(
-                jnp.concatenate([sl, l[2 * half :]], axis=0)
-                for sl, l in zip(summed, term)
-            )
-        else:
-            term = summed
-    return tuple(l[0] for l in term)
+    s1, e1 = _two_sum_reduce(p)
+    s2, e2 = _two_sum_reduce(jnp.concatenate([*e1, pe, q, r], axis=0))
+    s3, e3 = _two_sum_reduce(jnp.concatenate([*e2, s], axis=0))
+    s4 = (
+        jnp.sum(jnp.concatenate(e3, axis=0), axis=0)
+        if e3
+        else jnp.zeros_like(s3)
+    )
+
+    h1, t1 = eft.two_sum(s1, s2)
+    h2, t2 = eft.two_sum(t1, s3)
+    return (h1, h2, t2 + s4, jnp.zeros_like(h1))
 
 
 def elm2_step_q(
