@@ -62,6 +62,34 @@ def test_prescale_single_rounding():
         assert wi == float(np.float64(exact))
 
 
+def test_two_sum_reduce_error_free():
+    """root + sum(errs) must equal sum(vals) EXACTLY (as reals): both sides
+    correctly rounded with math.fsum must agree bitwise.  Eager only — the
+    error-free property is what the cascaded _wsum_precise reduction builds
+    on (jitted XLA:CPU folds it; documented hazard, routed around)."""
+    import math
+
+    rng = np.random.default_rng(7)
+    for m in (1, 2, 3, 5, 12, 47, 58):
+        for dtype in (np.float32, np.float64):
+            # cancellation-heavy, mixed magnitudes
+            vals = (
+                rng.uniform(-1.0, 1.0, (m, 4))
+                * np.logspace(-6, 6, m)[:, None]
+            ).astype(dtype)
+            root, errs = ms._two_sum_reduce(jnp.asarray(vals))
+            # the reduce captures exactly m-1 error terms (one per two_sum)
+            assert sum(int(e.shape[0]) for e in errs) == m - 1
+            for col in range(vals.shape[1]):
+                lhs = math.fsum(
+                    [float(np.asarray(root)[col])]
+                    + [float(np.asarray(e)[i, col]) for e in errs
+                       for i in range(e.shape[0])]
+                )
+                rhs = math.fsum(float(v) for v in vals[:, col])
+                assert lhs == rhs, (m, dtype, col, lhs, rhs)
+
+
 def test_wsum_precise_eager_design_grade():
     """Eager (and TPU-jitted; see module docstring) accuracy: ~2^-60."""
     tab = get("QuinlanTremaine12")
