@@ -542,6 +542,68 @@ def bench_mixed() -> dict:
     }
 
 
+def bench_split() -> dict:
+    """BEYOND-baseline extra: the magnitude-split mode (f32 weak tail +
+    exact f64 top-K strong pairs; ~1e-9 for dominated hierarchies, ~1e-7
+    random clouds — the rung between mixed and df64; see ACCURACY.md).
+    The strong set refreshes once per chunk, as in engine use."""
+    import jax
+    import jax.numpy as jnp
+
+    from ephemeris_explorer_tpu.ops.pallas_nbody import (
+        pairwise_accel_split,
+        strong_pair_indices,
+        strong_pair_mask,
+    )
+
+    pos, vel, mu = _cluster(N_BODIES)
+    pos = jnp.asarray(pos)
+    mu64 = jnp.asarray(mu)
+
+    @jax.jit
+    def scan(p):
+        idx = strong_pair_indices(p, mu64, k=16)
+        mask = strong_pair_mask(idx, N_BODIES)
+
+        def body(c, _):
+            a = pairwise_accel_split(c, mu64, idx, mask)
+            return c + a * 1e-30, None
+
+        c, _ = jax.lax.scan(body, p, None, length=STEPS_PER_CHUNK)
+        return c
+
+    p = scan(pos)
+    _force(p)
+    # grouped + drain-amortised like bench_f32_fast
+    rates = []
+    t_all = time.perf_counter()
+    for _ in range(GROUPS):
+        t0 = time.perf_counter()
+        for _ in range(CHUNKS_PER_GROUP * FAST_CHUNK_MULT):
+            p = scan(p)
+        _force(p)
+        rates.append(
+            N_BODIES * STEPS_PER_CHUNK * CHUNKS_PER_GROUP * FAST_CHUNK_MULT
+            / (time.perf_counter() - t0)
+        )
+    elapsed = time.perf_counter() - t_all
+    steps = STEPS_PER_CHUNK * CHUNKS_PER_GROUP * FAST_CHUNK_MULT * GROUPS
+    value = N_BODIES * steps / elapsed
+    return {
+        "metric": (
+            f"split-mode force evals/sec/chip x bodies (N={N_BODIES}, "
+            "~1e-9 hierarchies / ~1e-7 clouds, K=16)"
+        ),
+        "value": round(value, 1),
+        "unit": "body-steps/s",
+        "vs_baseline": round(value / BASELINE, 3),
+        "groups": GROUPS,
+        "spread_pct": round(
+            100.0 * (max(rates) - min(rates)) / (sum(rates) / len(rates)), 2
+        ),
+    }
+
+
 ALL_BENCHES = {
     "n4096_df64": bench_headline,
     "n4096_parity": bench_parity,
@@ -550,6 +612,7 @@ ALL_BENCHES = {
     "ensemble16x4096": bench_ensemble,
     "n4096_f32_fast": bench_f32_fast,
     "n4096_mixed": bench_mixed,
+    "n4096_split": bench_split,
 }
 
 

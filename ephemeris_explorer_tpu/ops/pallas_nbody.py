@@ -933,3 +933,270 @@ def pairwise_accel_f32(
             out_shape=jax.ShapeDtypeStruct((n, 3), jnp.float32),
             interpret=interpret,
         )(lane, mu, pos)
+
+
+# ---------------------------------------------------------------------------
+# Magnitude-split mode (~1e-9 for hierarchical systems, BEYOND the reference)
+# ---------------------------------------------------------------------------
+#
+# The rung between the mixed mode (~1e-6 every geometry) and df64 (~1e-13):
+# plain-f32 pair math for the weak tail, EXACT f64 for each body's K
+# strongest attractors.  The selection criterion is the f32 ERROR model,
+# not the contribution magnitude: rounding the f64 positions to f32
+# perturbs each pair difference by ~|p| * 2^-24 ABSOLUTE (independent of
+# the separation r), so the induced acceleration error is
+# ~|da/dd| * |p| * 2^-24 ~ mu_j / r^3 * |p| * 2^-24 - i.e. the pairs that
+# hurt are exactly the largest-WEIGHT (mu_j / r^3) pairs: close pairs
+# (catastrophic cancellation) and dominant attractors (their 2^-24
+# relative error is 2^-24 of the TOTAL).  Removing the top-K weights per
+# row from the f32 kernel (an int8 mask streamed with the column tiles)
+# and adding them back from a gathered (N, K) f64 computation deletes
+# both failure modes without any bitwise-replica coupling between the
+# two passes: a masked pair contributes to exactly one of them.
+#
+# Error floor: the surviving weak tail's per-pair f32 roundings
+# (~2^-24 relative, random sign).  For a dominated hierarchy (a solar
+# system - every body's field is sun/primary-led) that is ~2^-24 of a
+# small fraction of the total: measured ~1e-9 (test_pallas_nbody.py).
+# For an unstructured random cloud sum cancellation makes the weak
+# tail's |contribution| sum exceed the net field, so the floor is
+# ~2^-24 relative: measured ~5e-8 - still ~30x under the unsplit f32
+# kernel on the same cloud, with the close-pair blowups gone entirely.
+# The strong set moves on orbital timescales; refresh it per chunk
+# (strong_pair_indices), not per step.
+#
+# No reference analogue (beyond-parity mode, like fast-f32/mixed above).
+
+
+def _accel_kernel_f32_masked(
+    pos_ref, mu_ref, mask_ref, rows_ref, out_ref,
+    *, n_bodies: int, tile_rows: int, tile_cols: int,
+):
+    tr, tc = tile_rows, tile_cols
+    n_col_tiles = n_bodies // tc
+    i0 = jax.lax.mul(pl.program_id(0), jnp.int32(tr))
+    row_ids = jax.lax.add(jax.lax.broadcasted_iota(jnp.int32, (tr, 1), 0), i0)
+    rows = rows_ref[:, :]  # (TR, 3)
+
+    def col_tile(k, acc):
+        c0 = jax.lax.mul(k, jnp.int32(tc))
+        col_ids = jax.lax.add(jax.lax.broadcasted_iota(jnp.int32, (1, tc), 1), c0)
+        skip = row_ids == col_ids
+        # strong pairs leave the f32 sum entirely (handled exactly in f64)
+        skip = jnp.logical_or(skip, mask_ref[:, pl.ds(c0, tc)] != 0)
+
+        d = [
+            pos_ref[c, pl.ds(c0, tc)][None, :] - rows[:, c][:, None]
+            for c in range(3)
+        ]
+        r2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+        r2 = jnp.where(skip, jnp.float32(1.0), r2)
+        u = jax.lax.rsqrt(r2)
+        u = u * (jnp.float32(1.5) - jnp.float32(0.5) * r2 * u * u)
+        w = mu_ref[0, pl.ds(c0, tc)][None, :] * (u * u * u)
+        w = jnp.where(skip, jnp.float32(0.0), w)
+        return tuple(
+            acc[c] + jnp.sum(w * d[c], axis=1, keepdims=True) for c in range(3)
+        )
+
+    acc0 = tuple(jnp.zeros((tr, 1), jnp.float32) for _ in range(3))
+    acc = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_col_tiles), col_tile, acc0)
+    for c in range(3):
+        out_ref[:, c : c + 1] = acc[c]
+
+
+@partial(jax.jit, static_argnames=("tile_rows", "tile_cols", "interpret"))
+def pairwise_accel_f32_masked(
+    pos, mu, mask,
+    tile_rows: int = 256, tile_cols: int = 2048, interpret: bool = False,
+):
+    """The f32 fast kernel with per-pair exclusions: ``mask[i, j] != 0``
+    pairs contribute zero (they are re-added exactly by the split mode's
+    f64 correction).  pos (N, 3) f32, mu (1, N) f32, mask (N, N) int8."""
+    n = pos.shape[0]
+    tile_cols = min(tile_cols, n)
+    tile_rows = min(tile_rows, n)
+    assert n % tile_rows == 0 and n % tile_cols == 0
+
+    lane = pos.T  # (3, N)
+    kernel = partial(
+        _accel_kernel_f32_masked, n_bodies=n, tile_rows=tile_rows,
+        tile_cols=tile_cols,
+    )
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            kernel,
+            grid=(n // tile_rows,),
+            in_specs=[
+                pl.BlockSpec((3, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (tile_rows, n), lambda i: (i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((tile_rows, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (tile_rows, 3), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n, 3), jnp.float32),
+            interpret=interpret,
+        )(lane, mu, mask, pos)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def strong_pair_indices(pos, mu, k: int = 16):
+    """Per-row top-k columns by weight mu_j / r_ij^3 - the f32 error
+    criterion (see the section comment).  pos (N, 3), mu (N,); returns
+    (N, k) int32 column indices, self excluded.  O(N^2) scratch: run per
+    chunk, not per step."""
+    p = pos.astype(jnp.float32)
+    d = p[None, :, :] - p[:, None, :]
+    r2 = jnp.sum(d * d, axis=-1)
+    n = p.shape[0]
+    eye = jnp.eye(n, dtype=bool)
+    r2 = jnp.where(eye, jnp.float32(1.0), r2)
+    s = mu.astype(jnp.float32)[None, :] * jax.lax.rsqrt(r2) ** 3
+    s = jnp.where(eye, jnp.float32(-jnp.inf), s)
+    _, idx = jax.lax.top_k(s, k)
+    return idx.astype(jnp.int32)
+
+
+def strong_pair_mask(idx, n: int):
+    """(N, N) int8 mask with 1 at each (i, idx[i, k]) - the masked f32
+    kernel's exclusion table for the index set."""
+    rows = jnp.arange(idx.shape[0], dtype=idx.dtype)[:, None]
+    return (
+        jnp.zeros((idx.shape[0], n), jnp.int8).at[rows, idx].set(jnp.int8(1))
+    )
+
+
+def _strong_correction(pos, mu, idx):
+    """Exact (native-precision) acceleration from each row's strong set:
+    gathered (N, K) pair math in the input dtype (f64 in production).
+    On TPU the f64 chain is emulated and costs more than the whole masked
+    f32 kernel (measured 345 us vs 210 us at N=4096); production uses
+    `_strong_correction_df64` and keeps this as the CI cross-check."""
+    pj = pos[idx]                          # (N, K, 3)
+    d = pj - pos[:, None, :]
+    r2 = jnp.sum(d * d, axis=-1)
+    w = mu[idx] / (r2 * jnp.sqrt(r2))      # mu_j / r^3
+    return jnp.sum(w[..., None] * d, axis=1)
+
+
+def _split_f64(x):
+    """Device-side exact limb split: f64 array -> TwoFloat of f32."""
+    hi = x.astype(jnp.float32)
+    lo = (x - hi.astype(x.dtype)).astype(jnp.float32)
+    return TwoFloat(hi, lo)
+
+
+def _strong_corr_kernel(d_hi_ref, d_lo_ref, mu_hi_ref, mu_lo_ref,
+                        out_hi_ref, out_lo_ref):
+    """Two-float strong-set correction over gathered (K, TC) pair tiles.
+
+    Must be a Pallas kernel, not jnp: XLA's HLO algebraic simplifier
+    rewrites quick_two_sum's ``b - ((a + b) - a)`` to zero inside any
+    jitted composition (measured: the identical jnp chain degrades from
+    2^-47 to f32-grade 3.7e-8 the moment it is jitted, on CPU and TPU
+    alike), so every eft chain in this package runs under Mosaic, which
+    preserves the written arithmetic.  Padded K rows carry mu == 0 and
+    d == 0; the r2 == 0 clamp keeps their rsqrt finite so they contribute
+    exactly zero."""
+    d = [TwoFloat(d_hi_ref[c], d_lo_ref[c]) for c in range(3)]   # (K, TC)
+    r2 = eft.add(eft.add(eft.sqr(d[0]), eft.sqr(d[1])), eft.sqr(d[2]))
+    one = jnp.ones_like(r2.hi)
+    pad = r2.hi == jnp.float32(0.0)
+    r2 = eft.where(pad, TwoFloat(one, jnp.zeros_like(one)), r2)
+    u = _rsqrt_df(r2)
+    mu = TwoFloat(mu_hi_ref[:, :], mu_lo_ref[:, :])
+    # (u^2 * mu) * u product order: see the subnormal-flush note in
+    # _accel_kernel_df64
+    w = eft.mul(eft.mul(eft.sqr(u), mu), u)
+    for c in range(3):
+        s = _dd_tree_sum(eft.mul(w, d[c]), axis=0)               # (1, TC)
+        out_hi_ref[c : c + 1, :] = s.hi
+        out_lo_ref[c : c + 1, :] = s.lo
+
+
+def _strong_correction_df64(pos, mu, idx, tile_cols: int = 512,
+                            interpret: bool = False):
+    """The strong-set correction in two-float f32 (~2^-47 relative): the
+    same pair chain as `_strong_correction` but on gathered (N, K) limb
+    pairs inside a Pallas kernel, so it runs on the VPU at f32 speed
+    instead of XLA's emulated-f64 (which costs more than the whole masked
+    kernel: 345 us vs 210 us at N=4096).  2^-47 sits five orders below
+    the split mode's ~1e-9 weak-tail envelope, so swapping it in is
+    accuracy-neutral.
+
+    The displacement is differenced in f64 BEFORE the limb split: strong
+    sets are exactly the close pairs, where splitting the POSITIONS first
+    amplifies the limbs' 2^-48-of-|p| representation error by |p|/|d|
+    (measured 1.7e-12 row error on the hierarchy fixture vs 4e-14 this
+    way).  The gather / f64 subtract / limb split stay in XLA — they are
+    exact data movement plus correctly-rounded f64 ops with no EFT
+    identities for the simplifier to destroy; the compensated chain runs
+    under Mosaic (see `_strong_corr_kernel`)."""
+    n, k = idx.shape
+    kp = 1 << (k - 1).bit_length()
+    d64 = pos[idx] - pos[:, None, :]                           # (N, K, 3)
+    d = _split_f64(jnp.transpose(d64, (2, 1, 0)))              # (3, K, N)
+    muj = _split_f64(mu[idx].T)                                # (K, N)
+    if kp != k:
+        padw = ((0, 0), (kp - k, 0), (0, 0))
+        d = TwoFloat(jnp.pad(d.hi, padw), jnp.pad(d.lo, padw))
+        muj = TwoFloat(jnp.pad(muj.hi, padw[1:]), jnp.pad(muj.lo, padw[1:]))
+    tc = min(tile_cols, n)
+    assert n % tc == 0
+    out_hi, out_lo = pl.pallas_call(
+        _strong_corr_kernel,
+        grid=(n // tc,),
+        in_specs=[
+            # literal index-map zeros must match the grid index dtype or
+            # Mosaic fails to legalize the (i64, i64, i32) return under x64
+            pl.BlockSpec((3, kp, tc), lambda i: (i * 0, i * 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, kp, tc), lambda i: (i * 0, i * 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, tc), lambda i: (i * 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, tc), lambda i: (i * 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((3, tc), lambda i: (i * 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tc), lambda i: (i * 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, n), jnp.float32),
+            jax.ShapeDtypeStruct((3, n), jnp.float32),
+        ],
+        interpret=interpret,
+    )(d.hi, d.lo, muj.hi, muj.lo)
+    return out_hi.T.astype(pos.dtype) + out_lo.T.astype(pos.dtype)
+
+
+@partial(jax.jit, static_argnames=("tile_rows", "tile_cols", "interpret",
+                                   "exact_f64"))
+def pairwise_accel_split(
+    pos, mu, idx, mask,
+    tile_rows: int = 256, tile_cols: int = 2048, interpret: bool = False,
+    exact_f64: bool = False,
+):
+    """Magnitude-split O(N^2) acceleration: f64 (N, 3) positions in,
+    f64 (N, 3) accelerations out.  idx/mask from strong_pair_indices /
+    strong_pair_mask on a recent snapshot (refresh per chunk).
+    ``exact_f64=True`` swaps the production two-float correction for the
+    native-f64 chain (the CI cross-check; slow on TPU)."""
+    pos32 = pos.astype(jnp.float32)
+    mu32 = mu.astype(jnp.float32).reshape(1, -1)
+    a32 = pairwise_accel_f32_masked(
+        pos32, mu32, mask,
+        tile_rows=tile_rows, tile_cols=tile_cols, interpret=interpret,
+    )
+    if exact_f64:
+        corr = _strong_correction(pos, mu, idx)
+    else:
+        corr = _strong_correction_df64(pos, mu, idx, interpret=interpret)
+    return corr + a32.astype(pos.dtype)
