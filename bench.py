@@ -620,6 +620,13 @@ def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--all", action="store_true", help="run every BASELINE config")
     p.add_argument("--config", choices=sorted(ALL_BENCHES), default=None)
+    p.add_argument(
+        "--publish",
+        action="store_true",
+        help="with --config: write the result back even if it regresses the "
+        "published number by >20%% (otherwise such runs are treated as "
+        "ad-hoc/contended and NOT written back)",
+    )
     args = p.parse_args()
 
     if args.config:
@@ -627,8 +634,27 @@ def main() -> None:
         print(json.dumps(result))
         # keep the committed artifacts consistent with single-config re-runs
         # (a clean re-measure of one contended config must not leave stale
-        # numbers in BENCH_all.json / BASELINE.published)
+        # numbers in BENCH_all.json / BASELINE.published) — but guard the
+        # rewrite: an ad-hoc cold-cache/contended/debug-env run that lands
+        # far under the published number must not silently overwrite the
+        # record (ADVICE r4).  --publish overrides.
         bench_path = REPO / "BENCH_all.json"
+        if bench_path.exists() and "value" in result and not args.publish:
+            prev = json.loads(bench_path.read_text()).get(args.config, {})
+            if "value" in prev and result["value"] < 0.8 * prev["value"]:
+                print(
+                    json.dumps(
+                        {
+                            "notice": "result regresses published value by "
+                            ">20%; NOT written back (rerun with --publish "
+                            "to force)",
+                            "published": prev["value"],
+                            "measured": result["value"],
+                        }
+                    ),
+                    flush=True,
+                )
+                return
         if bench_path.exists() and "value" in result:
             all_results = json.loads(bench_path.read_text())
             all_results[args.config] = result

@@ -719,7 +719,13 @@ def _wsum_precise(weights, dd_hi, dd_lo) -> tuple:
     # (J, 1, ...) weight-limb constants + their host-side Dekker splits
     bshape = (len(ws),) + (1,) * (dd_hi.ndim - 1)
 
-    if isinstance(dd_hi, jax.core.Tracer) and jax.default_backend() == "cpu":
+    def _cpu_dot():
+        # the XLA:CPU route needs REAL float64 — with x64 disabled these
+        # ops silently run in f32 and the grade collapses to ~1e-7
+        assert jax.config.x64_enabled, (
+            "_wsum_precise's XLA:CPU fallback requires jax_enable_x64 "
+            "(the package enables it on import)"
+        )
         w64 = jnp.asarray(np.array(ws, np.float64).reshape(bshape))
         r = jnp.sum(
             w64 * (dd_hi.astype(jnp.float64) + dd_lo.astype(jnp.float64)),
@@ -731,36 +737,52 @@ def _wsum_precise(weights, dd_hi, dd_lo) -> tuple:
         l2 = (r1 - l1.astype(jnp.float64)).astype(jnp.float32)
         return (l0, l1, l2, jnp.zeros_like(l0))
 
-    limbs = [_split3_host(w) for w in ws]
+    def _cascade():
+        limbs = [_split3_host(w) for w in ws]
 
-    def const(vals):
-        return jnp.asarray(np.array(vals, np.float32).reshape(bshape))
+        def const(vals):
+            return jnp.asarray(np.array(vals, np.float32).reshape(bshape))
 
-    b0 = const([l[0] for l in limbs])
-    b1 = const([l[1] for l in limbs])
-    b2 = const([l[2] for l in limbs])
-    b0h, b0l = (const(v) for v in zip(*(_dekker_split_f32_host(l[0]) for l in limbs)))
-    b1h, b1l = (const(v) for v in zip(*(_dekker_split_f32_host(l[1]) for l in limbs)))
+        b0 = const([l[0] for l in limbs])
+        b1 = const([l[1] for l in limbs])
+        b2 = const([l[2] for l in limbs])
+        b0h, b0l = (
+            const(v) for v in zip(*(_dekker_split_f32_host(l[0]) for l in limbs))
+        )
+        b1h, b1l = (
+            const(v) for v in zip(*(_dekker_split_f32_host(l[1]) for l in limbs))
+        )
 
-    hi_h, hi_l = eft.split(dd_hi)
-    lo_h, lo_l = eft.split(dd_lo)
-    p, pe = eft.two_prod_presplit(dd_hi, hi_h, hi_l, b0, b0h, b0l)
-    q, qe = eft.two_prod_presplit(dd_lo, lo_h, lo_l, b0, b0h, b0l)
-    r, re = eft.two_prod_presplit(dd_hi, hi_h, hi_l, b1, b1h, b1l)
-    s = qe + re + dd_lo * b1 + dd_hi * b2
+        hi_h, hi_l = eft.split(dd_hi)
+        lo_h, lo_l = eft.split(dd_lo)
+        p, pe = eft.two_prod_presplit(dd_hi, hi_h, hi_l, b0, b0h, b0l)
+        q, qe = eft.two_prod_presplit(dd_lo, lo_h, lo_l, b0, b0h, b0l)
+        r, re = eft.two_prod_presplit(dd_hi, hi_h, hi_l, b1, b1h, b1l)
+        s = qe + re + dd_lo * b1 + dd_hi * b2
 
-    s1, e1 = _two_sum_reduce(p)
-    s2, e2 = _two_sum_reduce(jnp.concatenate([*e1, pe, q, r], axis=0))
-    s3, e3 = _two_sum_reduce(jnp.concatenate([*e2, s], axis=0))
-    s4 = (
-        jnp.sum(jnp.concatenate(e3, axis=0), axis=0)
-        if e3
-        else jnp.zeros_like(s3)
-    )
+        s1, e1 = _two_sum_reduce(p)
+        s2, e2 = _two_sum_reduce(jnp.concatenate([*e1, pe, q, r], axis=0))
+        s3, e3 = _two_sum_reduce(jnp.concatenate([*e2, s], axis=0))
+        s4 = (
+            jnp.sum(jnp.concatenate(e3, axis=0), axis=0)
+            if e3
+            else jnp.zeros_like(s3)
+        )
 
-    h1, t1 = eft.two_sum(s1, s2)
-    h2, t2 = eft.two_sum(t1, s3)
-    return (h1, h2, t2 + s4, jnp.zeros_like(h1))
+        h1, t1 = eft.two_sum(s1, s2)
+        h2, t2 = eft.two_sum(t1, s3)
+        return (h1, h2, t2 + s4, jnp.zeros_like(h1))
+
+    if isinstance(dd_hi, jax.core.Tracer):
+        # Route per LOWERING platform, not per jax.default_backend():
+        # tracing for a CPU device on a TPU-equipped host (jit(...,
+        # backend='cpu') / a jax.default_device(cpu) context) still
+        # reports 'tpu' as the default backend, yet the trace lowers
+        # under XLA:CPU where codegen folds the cascade (ADVICE r4).
+        # lax.platform_dependent resolves the branch at lowering time,
+        # so each platform gets the arithmetic that is exact THERE.
+        return jax.lax.platform_dependent(cpu=_cpu_dot, default=_cascade)
+    return _cascade()
 
 
 def elm2_step_q(

@@ -1049,6 +1049,10 @@ def strong_pair_indices(pos, mu, k: int = 16):
     criterion (see the section comment).  pos (N, 3), mu (N,); returns
     (N, k) int32 column indices, self excluded.  O(N^2) scratch: run per
     chunk, not per step."""
+    # k == n would let top_k select the -inf self entry, so idx would
+    # contain i itself and the f64 correction would divide by r2 == 0
+    # (NaN); fail loudly instead (ADVICE r4)
+    assert k < pos.shape[0], f"strong set k={k} must be < n={pos.shape[0]}"
     p = pos.astype(jnp.float32)
     d = p[None, :, :] - p[:, None, :]
     r2 = jnp.sum(d * d, axis=-1)
