@@ -477,3 +477,85 @@ def test_rowsharded_scan_qf_precise_sums():
     np.testing.assert_allclose(
         y_out, y_ref, atol=np.abs(y_ref).max() * 2.0**-50, rtol=0
     )
+
+
+@pytest.mark.slow
+def test_rowsharded_scan_qf_precise_sums_at_scale():
+    """The PARITY production composition past toy scale (round-5 item):
+    the QF engine with precise beta sums — the extended-engine production
+    default — at N=1024 rows sharded 8 ways, ORDER+2 steps, so the ring
+    shift x all_gather interplay runs past the startup ring with
+    non-trivial tile boundaries (128 local rows, 256-column tiles).
+
+    Value-level (2^-50 of the position) rather than bitwise: on CPU
+    lowerings `_wsum_precise` routes to the native-f64 dot
+    (multistep._wsum_precise, the documented XLA:CPU exactness-folding
+    hazard), and interpret-mode XLA:CPU fuses the expansion renorm
+    cascades differently per layout.  The bitwise sharded-vs-unsharded
+    gate for the ACTUAL cascade runs on real Mosaic via
+    tools/tpu_smoke.py's rowsharded_scan_qf+psums leg."""
+    from ephemeris_explorer_tpu.integrators.multistep import (
+        elm2_init_q, elm2_qf_from_q, elm2_step_qf, elm2_velocity_qf,
+    )
+    from ephemeris_explorer_tpu.ops.pallas_nbody import (
+        pairwise_accel_limbs_pair, split_f64,
+    )
+
+    n = 1024
+    rng = np.random.default_rng(17)
+    # two clusters so distant/close pair geometries both occur
+    pos = np.concatenate([
+        rng.normal(size=(n // 2, 3)) * 1e6,
+        rng.normal(size=(n // 2, 3)) * 1e6 + 4e7,
+    ])
+    vel = rng.normal(size=(n, 3))
+    mu = rng.uniform(1e3, 1e5, n)
+    tab = get("QuinlanTremaine12")
+    h = 600.0
+    steps = tab.order + 2
+    tiles = dict(tile_rows=64, tile_cols=256)
+
+    mu_j = jnp.asarray(mu)
+    accel = lambda t, y: nbody.pairwise_accel(y, mu_j)  # noqa: E731
+    carry0 = elm2_qf_from_q(
+        elm2_init_q(tab, accel, 0.0, jnp.asarray(pos), jnp.asarray(vel), h)
+    )
+
+    mu_hi, mu_lo = split_f64(mu_j.reshape(1, -1))
+
+    def accel_pair(t, limbs):
+        return pairwise_accel_limbs_pair(
+            limbs[0], limbs[1], limbs[2], mu_hi, mu_lo, interpret=True,
+            **tiles,
+        )
+
+    @jax.jit
+    def ref_scan(c):
+        def body(c, _):
+            return (
+                elm2_step_qf(
+                    tab, accel_pair, h, c, interpret=True, precise_sums=True
+                ),
+                None,
+            )
+
+        c, _ = jax.lax.scan(body, c, None, length=steps)
+        return c._replace(dy=elm2_velocity_qf(tab, c, h, precise_sums=True))
+
+    ref = ref_scan(carry0)
+
+    mesh = sh.make_mesh(data=1, model=8)
+    run, to_qf = sh.make_rowsharded_scan_qf(
+        mesh, tab, mu, h, steps, interpret=True, precise_sums=True, **tiles
+    )
+    out = run(carry0)
+
+    y_ref = sum(np.asarray(l, np.float64) for l in ref.ys)
+    y_out = sum(np.asarray(l, np.float64) for l in out.ys)
+    assert np.all(np.isfinite(y_out))
+    np.testing.assert_allclose(
+        y_out, y_ref, atol=np.abs(y_ref).max() * 2.0**-50, rtol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.dy), np.asarray(ref.dy), rtol=1e-13, atol=0
+    )

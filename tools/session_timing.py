@@ -12,12 +12,18 @@ regenerate from one command instead of an ad-hoc transcript:
                                                  flight_plan.rs:264-303)
   5. extend the context 100 d                   (Universe.extend)
 
-Run it twice in separate processes: the first pays the persistent-cache
-compiles (or run tools/prime_cache.py once beforehand), the second is the
-warm session the docs quote.
+Fleet treatment (round-5): the whole session runs ``--runs`` times in one
+process — run 0 pays the in-process compiles (on top of the persistent
+cache; prime with tools/prime_cache.py for a fully-warm run 0) and is
+recorded but EXCLUDED from the published statistics; the published table
+is per-step median and min–max spread over the remaining runs.  This is
+the same discipline as bench.py's grouped runs: single-run session
+numbers absorbed ~20 s of run-to-run device-relay jitter on the
+generate/extend steps (round-4 measured 89.4 vs 108.6 s generation
+between two back-to-back runs), which medians over >=4 runs pin down.
 
 Usage:
-    python tools/session_timing.py [--json docs/session_timing.json]
+    python tools/session_timing.py [--runs 5] [--json docs/session_timing.json]
 """
 
 from __future__ import annotations
@@ -37,13 +43,8 @@ from ephemeris_explorer_tpu.api import Universe  # noqa: E402
 from ephemeris_explorer_tpu.io.scene import load_scene  # noqa: E402
 
 
-def main() -> None:
-    p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--scene", default="full_solar_system_2433282.5")
-    p.add_argument("--days", type=float, default=400.0)
-    p.add_argument("--json", dest="json_out", default=None)
-    args = p.parse_args()
-
+def run_session(scene_path: Path, days: float) -> list[tuple[str, float]]:
+    """One full interactive session; returns [(step label, seconds)]."""
     steps: list[tuple[str, float]] = []
 
     def timed(label: str, fn):
@@ -53,10 +54,10 @@ def main() -> None:
         print(f"  {label}: {steps[-1][1]:.1f} s", file=sys.stderr, flush=True)
         return out
 
-    sc = load_scene(REPO / "systems" / args.scene)
+    sc = load_scene(scene_path)
     uni = Universe(sc)
 
-    timed(f"generate {args.days:g} d", lambda: uni.generate(Duration.from_days(args.days)))
+    timed(f"generate {days:g} d", lambda: uni.generate(Duration.from_days(days)))
     timed("spawn + propagate scene ships", uni.spawn_scene_ships)
 
     # Incremental replan: nudge the LATEST burn of a propagated ship by one
@@ -115,17 +116,67 @@ def main() -> None:
 
     timed("tolerance edit + full replan", tol_edit)
     timed("extend 100 d", lambda: uni.extend(Duration.from_days(100.0)))
+    return steps
 
-    total = sum(dt for _, dt in steps)
-    print("\n| step | seconds |\n|---|---|")
-    for label, dt in steps:
-        print(f"| {label} | {dt:.1f} |")
-    print(f"| whole session | {total:.1f} |")
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--scene", default="full_solar_system_2433282.5")
+    p.add_argument("--days", type=float, default=400.0)
+    p.add_argument("--runs", type=int, default=5,
+                   help="total sessions; run 0 is the in-process warm-up "
+                   "and is excluded from the published statistics")
+    p.add_argument("--json", dest="json_out", default=None)
+    args = p.parse_args()
+
+    scene_path = REPO / "systems" / args.scene
+    all_runs: list[list[tuple[str, float]]] = []
+    for r in range(args.runs):
+        tag = "warm-up" if r == 0 else f"run {r}"
+        print(f"-- session {tag} --", file=sys.stderr, flush=True)
+        all_runs.append(run_session(scene_path, args.days))
+
+    labels = [label for label, _ in all_runs[0]]
+    warm = all_runs[1:] if len(all_runs) > 1 else all_runs
+    import statistics
+
+    def col(label):
+        return [dict(run)[label] for run in warm]
+
+    print("\n| step | median s | spread (min–max) |\n|---|---|---|")
+    rows = {}
+    for label in labels:
+        vals = col(label)
+        med = statistics.median(vals)
+        rows[label] = {
+            "median_s": round(med, 2),
+            "min_s": round(min(vals), 2),
+            "max_s": round(max(vals), 2),
+        }
+        print(f"| {label} | {med:.1f} | {min(vals):.1f}–{max(vals):.1f} |")
+    totals = [sum(dt for _, dt in run) for run in warm]
+    med_total = statistics.median(totals)
+    print(
+        f"| whole session | {med_total:.1f} | "
+        f"{min(totals):.1f}–{max(totals):.1f} |"
+    )
 
     payload = {
         "scene": args.scene,
-        "steps": {label: round(dt, 2) for label, dt in steps},
-        "whole_session_s": round(total, 2),
+        "runs_recorded": len(warm),
+        "steps": rows,
+        "whole_session_s": {
+            "median_s": round(med_total, 2),
+            "min_s": round(min(totals), 2),
+            "max_s": round(max(totals), 2),
+            "per_run_s": [round(t, 2) for t in totals],
+        },
+        "warmup_run_s": {
+            label: round(dt, 2) for label, dt in all_runs[0]
+        } if len(all_runs) > 1 else None,
+        "all_runs": [
+            {label: round(dt, 2) for label, dt in run} for run in warm
+        ],
     }
     print(json.dumps(payload))
     if args.json_out:
