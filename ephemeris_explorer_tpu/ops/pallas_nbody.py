@@ -1181,18 +1181,122 @@ def _strong_correction_df64(pos, mu, idx, tile_cols: int = 512,
     return out_hi.T.astype(pos.dtype) + out_lo.T.astype(pos.dtype)
 
 
+def _strong_corr_kernel_fast(gp_hi_ref, gp_lo_ref, rows_hi_ref, rows_lo_ref,
+                             muj_hi_ref, muj_lo_ref, out_hi_ref, out_lo_ref):
+    """Two-float strong-set correction on PRE-GATHERED position limbs.
+
+    The round-4 anatomy (docs/split_anatomy.json + the round-5 isolation
+    runs) showed the split mode's gap is not the correction kernel (41 us
+    at N=4096) but its XLA feed with a RUNTIME index set: the f64 gather
+    of (N, K, 3) positions, the f64 transposes to lane-major, and the
+    per-step limb split cost ~1190 us/step — 29x the kernel.  This
+    variant moves the pair differencing INSIDE Mosaic (eft.sub on limbs,
+    safe from the HLO simplifier) so the XLA side shrinks to one packed
+    f32 gather of 6 limb channels plus one f32 transpose; the mu-limb
+    gather is loop-invariant (idx is fixed per chunk) and XLA's while
+    LICM hoists it out of the step scan.
+
+    Numerics: differencing SPLIT limbs instead of f64 positions costs the
+    limbs' 2^-48-of-|p| representation error amplified by |p|/|d| on
+    close pairs — measured 1.7e-12 row error on the hierarchy fixture vs
+    4e-14 for the f64-differenced feed (`_strong_correction_df64`'s
+    docstring), three decades inside the split mode's ~1e-9 weak-tail
+    envelope.  Padded K rows carry mu == 0 and gp == 0, so d == -row;
+    the r2 == 0 clamp keeps a body sitting exactly at the origin finite.
+    """
+    rows = [TwoFloat(rows_hi_ref[c : c + 1, :], rows_lo_ref[c : c + 1, :])
+            for c in range(3)]                                   # (1, TC)
+    d = [eft.sub(TwoFloat(gp_hi_ref[c], gp_lo_ref[c]), rows[c])
+         for c in range(3)]                                      # (KP, TC)
+    r2 = eft.add(eft.add(eft.sqr(d[0]), eft.sqr(d[1])), eft.sqr(d[2]))
+    one = jnp.ones_like(r2.hi)
+    pad = r2.hi == jnp.float32(0.0)
+    r2 = eft.where(pad, TwoFloat(one, jnp.zeros_like(one)), r2)
+    u = _rsqrt_df(r2)
+    mu = TwoFloat(muj_hi_ref[:, :], muj_lo_ref[:, :])
+    w = eft.mul(eft.mul(eft.sqr(u), mu), u)
+    for c in range(3):
+        s = _dd_tree_sum(eft.mul(w, d[c]), axis=0)               # (1, TC)
+        out_hi_ref[c : c + 1, :] = s.hi
+        out_lo_ref[c : c + 1, :] = s.lo
+
+
+def _strong_correction_fast(pos, mu, idx, tile_cols: int = 512,
+                            interpret: bool = False):
+    """The production strong-set correction: split-limb feed, TwoFloat
+    differencing in-kernel (see `_strong_corr_kernel_fast`).  ~1.7e-12
+    relative on the hierarchy fixture — accuracy-equivalent for the
+    ~1e-9-grade split mode, and the XLA glue drops from ~1190 us/step to
+    one packed f32 gather + one f32 transpose."""
+    n, k = idx.shape
+    kp = 1 << (k - 1).bit_length()
+    hi = pos.astype(jnp.float32)                                 # (N, 3)
+    lo = (pos - hi.astype(pos.dtype)).astype(jnp.float32)
+    packed = jnp.concatenate([hi, lo], axis=1)                   # (N, 6)
+    g = jnp.take(packed, idx.reshape(-1), axis=0).reshape(n, k, 6)
+    gt = jnp.transpose(g, (2, 1, 0))                             # (6, K, N)
+    # mu and idx are loop-invariant across a chunk's steps: XLA's while
+    # LICM hoists this gather + split + transpose out of the step scan
+    muj = _split_f64(mu[idx].T)                                  # (K, N)
+    gp_hi, gp_lo = gt[:3], gt[3:]
+    if kp != k:
+        padw = ((0, 0), (kp - k, 0), (0, 0))
+        gp_hi = jnp.pad(gp_hi, padw)
+        gp_lo = jnp.pad(gp_lo, padw)
+        muj = TwoFloat(jnp.pad(muj.hi, padw[1:]), jnp.pad(muj.lo, padw[1:]))
+    tc = min(tile_cols, n)
+    assert n % tc == 0
+    out_hi, out_lo = pl.pallas_call(
+        _strong_corr_kernel_fast,
+        grid=(n // tc,),
+        in_specs=[
+            pl.BlockSpec((3, kp, tc), lambda i: (i * 0, i * 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, kp, tc), lambda i: (i * 0, i * 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tc), lambda i: (i * 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tc), lambda i: (i * 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, tc), lambda i: (i * 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, tc), lambda i: (i * 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((3, tc), lambda i: (i * 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tc), lambda i: (i * 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, n), jnp.float32),
+            jax.ShapeDtypeStruct((3, n), jnp.float32),
+        ],
+        interpret=interpret,
+    )(gp_hi, gp_lo, hi.T, lo.T, muj.hi, muj.lo)
+    return out_hi.T.astype(pos.dtype) + out_lo.T.astype(pos.dtype)
+
+
 @partial(jax.jit, static_argnames=("tile_rows", "tile_cols", "interpret",
-                                   "exact_f64"))
+                                   "exact_f64", "corr"))
 def pairwise_accel_split(
     pos, mu, idx, mask,
     tile_rows: int = 256, tile_cols: int = 2048, interpret: bool = False,
-    exact_f64: bool = False,
+    exact_f64: bool = False, corr: str = "fast",
 ):
     """Magnitude-split O(N^2) acceleration: f64 (N, 3) positions in,
     f64 (N, 3) accelerations out.  idx/mask from strong_pair_indices /
     strong_pair_mask on a recent snapshot (refresh per chunk).
-    ``exact_f64=True`` swaps the production two-float correction for the
-    native-f64 chain (the CI cross-check; slow on TPU)."""
+
+    ``corr`` selects the strong-set correction:
+      - "fast" (production): split-limb feed, TwoFloat differencing
+        in-kernel (~1.7e-12 on the hierarchy fixture; one f32 gather of
+        XLA glue per step — see `_strong_corr_kernel_fast`)
+      - "dd":   f64-differenced feed (~4e-14; the f64 gather/transpose
+        glue costs ~29x the kernel — kept as the accuracy cross-check)
+      - "f64":  native-f64 jnp chain (CI oracle; slow on TPU)
+    ``exact_f64=True`` is the legacy spelling of ``corr="f64"``."""
     pos32 = pos.astype(jnp.float32)
     mu32 = mu.astype(jnp.float32).reshape(1, -1)
     a32 = pairwise_accel_f32_masked(
@@ -1200,7 +1304,12 @@ def pairwise_accel_split(
         tile_rows=tile_rows, tile_cols=tile_cols, interpret=interpret,
     )
     if exact_f64:
-        corr = _strong_correction(pos, mu, idx)
+        corr = "f64"
+    if corr == "f64":
+        c = _strong_correction(pos, mu, idx)
+    elif corr == "dd":
+        c = _strong_correction_df64(pos, mu, idx, interpret=interpret)
     else:
-        corr = _strong_correction_df64(pos, mu, idx, interpret=interpret)
-    return corr + a32.astype(pos.dtype)
+        assert corr == "fast", corr
+        c = _strong_correction_fast(pos, mu, idx, interpret=interpret)
+    return c + a32.astype(pos.dtype)

@@ -769,6 +769,32 @@ def test_strong_correction_df64_matches_f64():
     assert _rel_err(jitted, ref).max() < 3e-13, _rel_err(jitted, ref).max()
 
 
+def test_strong_correction_fast_matches_f64():
+    """The round-5 production correction (split-limb feed, TwoFloat
+    differencing in-kernel): ~1.7e-12 on the hierarchy — the limbs'
+    2^-48-of-|p| representation error amplified by |p|/|d| on the close
+    pairs, three decades inside the split mode's ~1e-9 envelope.  The
+    glue this buys: ~1190 us/step of f64 gather/transpose XLA feed drops
+    to one packed f32 gather (measured anatomy in docs/PERF.md)."""
+    from ephemeris_explorer_tpu.ops.pallas_nbody import (
+        _strong_correction, _strong_correction_fast, strong_pair_indices)
+
+    import jax
+
+    pos, mu = _hierarchy()
+    idx = strong_pair_indices(pos, mu, k=6)
+    ref = _strong_correction(pos, mu, idx)
+    got = _strong_correction_fast(pos, mu, idx, interpret=True)
+    assert _rel_err(got, ref).max() < 5e-12, _rel_err(got, ref).max()
+    # grade sanity: coarser than the f64-differenced feed (else the
+    # cheaper feed would be measuring the wrong thing), finer than 1e-11
+    assert _rel_err(got, ref).max() > 1e-14
+    jitted = jax.jit(
+        lambda p, m, i: _strong_correction_fast(p, m, i, interpret=True)
+    )(pos, mu, idx)
+    assert _rel_err(jitted, ref).max() < 5e-12, _rel_err(jitted, ref).max()
+
+
 def test_split_mode_hierarchy_envelope():
     """The mode's target regime: for a dominated hierarchy the split mode
     lands at ~1e-9 (the weak tail's f32 noise against a sun-led field)

@@ -91,6 +91,11 @@ def main():
     out["masked_us_per_step"] = {"median": med * 1e6, "runs_us": [r * 1e6 for r in runs]}
 
     # -- correction alone (gather + glue + Pallas kernel) -----------------
+    # NOTE the closure: `idx` baked into the jit as a CONSTANT lets XLA
+    # simplify the gather feed.  The bench computes idx in-jit (a runtime
+    # value), which is the *_argidx variants below — the round-5 isolation
+    # runs showed the constant/argument gap IS the split mode's anatomy
+    # (dd feed: 280 us const vs 1232 us runtime at N=4096).
     @jax.jit
     def chunk_corr(p):
         def body(c, _):
@@ -102,6 +107,39 @@ def main():
 
     med, runs = _time_scan(chunk_corr, pos)
     out["corr_us_per_step"] = {"median": med * 1e6, "runs_us": [r * 1e6 for r in runs]}
+
+    # -- dd-feed correction with RUNTIME idx (the r4 shipped path) --------
+    @jax.jit
+    def chunk_corr_dd_arg(p, i2):
+        def body(c, _):
+            a = _strong_correction_df64(c, mu, i2)
+            return c + a * 1e-30, None
+
+        c, _ = jax.lax.scan(body, p, None, length=STEPS)
+        return c
+
+    med, runs = _time_scan(lambda p: chunk_corr_dd_arg(p, idx), pos)
+    out["corr_dd_argidx_us_per_step"] = {
+        "median": med * 1e6, "runs_us": [r * 1e6 for r in runs]
+    }
+
+    # -- fast correction (r5 production: packed f32 gather, TwoFloat
+    #    differencing in-kernel) with RUNTIME idx --------------------------
+    from ephemeris_explorer_tpu.ops.pallas_nbody import _strong_correction_fast
+
+    @jax.jit
+    def chunk_corr_fast_arg(p, i2):
+        def body(c, _):
+            a = _strong_correction_fast(c, mu, i2)
+            return c + a * 1e-30, None
+
+        c, _ = jax.lax.scan(body, p, None, length=STEPS)
+        return c
+
+    med, runs = _time_scan(lambda p: chunk_corr_fast_arg(p, idx), pos)
+    out["corr_fast_argidx_us_per_step"] = {
+        "median": med * 1e6, "runs_us": [r * 1e6 for r in runs]
+    }
 
     # -- correction Pallas kernel alone on fixed pre-gathered limbs -------
     from functools import partial
