@@ -971,6 +971,7 @@ def pairwise_accel_f32(
 def _accel_kernel_f32_masked(
     pos_ref, mu_ref, mask_ref, rows_ref, out_ref,
     *, n_bodies: int, tile_rows: int, tile_cols: int,
+    diag_in_mask: bool = False,
 ):
     tr, tc = tile_rows, tile_cols
     n_col_tiles = n_bodies // tc
@@ -980,10 +981,16 @@ def _accel_kernel_f32_masked(
 
     def col_tile(k, acc):
         c0 = jax.lax.mul(k, jnp.int32(tc))
-        col_ids = jax.lax.add(jax.lax.broadcasted_iota(jnp.int32, (1, tc), 1), c0)
-        skip = row_ids == col_ids
         # strong pairs leave the f32 sum entirely (handled exactly in f64)
-        skip = jnp.logical_or(skip, mask_ref[:, pl.ds(c0, tc)] != 0)
+        skip = mask_ref[:, pl.ds(c0, tc)] != 0
+        if not diag_in_mask:
+            col_ids = jax.lax.add(
+                jax.lax.broadcasted_iota(jnp.int32, (1, tc), 1), c0
+            )
+            skip = jnp.logical_or(skip, row_ids == col_ids)
+        # else: the exclusion table already carries the self diagonal
+        # (strong_pair_mask sets it), saving the iota compare + or in the
+        # inner loop — 2 of ~28 VPU ops/pair (split-mode production path)
 
         d = [
             pos_ref[c, pl.ds(c0, tc)][None, :] - rows[:, c][:, None]
@@ -1005,14 +1012,19 @@ def _accel_kernel_f32_masked(
         out_ref[:, c : c + 1] = acc[c]
 
 
-@partial(jax.jit, static_argnames=("tile_rows", "tile_cols", "interpret"))
+@partial(jax.jit, static_argnames=("tile_rows", "tile_cols", "interpret",
+                                   "diag_in_mask"))
 def pairwise_accel_f32_masked(
     pos, mu, mask,
     tile_rows: int = 256, tile_cols: int = 2048, interpret: bool = False,
+    diag_in_mask: bool = False,
 ):
     """The f32 fast kernel with per-pair exclusions: ``mask[i, j] != 0``
     pairs contribute zero (they are re-added exactly by the split mode's
-    f64 correction).  pos (N, 3) f32, mu (1, N) f32, mask (N, N) int8."""
+    f64 correction).  pos (N, 3) f32, mu (1, N) f32, mask (N, N) int8.
+    ``diag_in_mask=True`` promises the mask already excludes the self
+    diagonal (as `strong_pair_mask` builds it), dropping the in-kernel
+    self compare."""
     n = pos.shape[0]
     tile_cols = min(tile_cols, n)
     tile_rows = min(tile_rows, n)
@@ -1021,7 +1033,7 @@ def pairwise_accel_f32_masked(
     lane = pos.T  # (3, N)
     kernel = partial(
         _accel_kernel_f32_masked, n_bodies=n, tile_rows=tile_rows,
-        tile_cols=tile_cols,
+        tile_cols=tile_cols, diag_in_mask=diag_in_mask,
     )
     with jax.enable_x64(False):
         return pl.pallas_call(
@@ -1066,12 +1078,14 @@ def strong_pair_indices(pos, mu, k: int = 16):
 
 
 def strong_pair_mask(idx, n: int):
-    """(N, N) int8 mask with 1 at each (i, idx[i, k]) - the masked f32
-    kernel's exclusion table for the index set."""
+    """(N, N) int8 mask with 1 at each (i, idx[i, k]) AND the self
+    diagonal - the masked f32 kernel's exclusion table for the index
+    set.  Carrying the diagonal here (built once per chunk) lets the
+    kernel skip its per-pair self compare (`diag_in_mask=True`), 2 of
+    ~28 inner-loop VPU ops."""
     rows = jnp.arange(idx.shape[0], dtype=idx.dtype)[:, None]
-    return (
-        jnp.zeros((idx.shape[0], n), jnp.int8).at[rows, idx].set(jnp.int8(1))
-    )
+    m = jnp.zeros((idx.shape[0], n), jnp.int8).at[rows, idx].set(jnp.int8(1))
+    return m.at[rows[:, 0], rows[:, 0]].set(jnp.int8(1))
 
 
 def _strong_correction(pos, mu, idx):
@@ -1287,7 +1301,9 @@ def pairwise_accel_split(
 ):
     """Magnitude-split O(N^2) acceleration: f64 (N, 3) positions in,
     f64 (N, 3) accelerations out.  idx/mask from strong_pair_indices /
-    strong_pair_mask on a recent snapshot (refresh per chunk).
+    strong_pair_mask on a recent snapshot (refresh per chunk); the mask
+    MUST carry the self diagonal (strong_pair_mask does) — the masked
+    kernel runs with ``diag_in_mask=True`` here.
 
     ``corr`` selects the strong-set correction:
       - "fast" (production): split-limb feed, TwoFloat differencing
@@ -1302,6 +1318,7 @@ def pairwise_accel_split(
     a32 = pairwise_accel_f32_masked(
         pos32, mu32, mask,
         tile_rows=tile_rows, tile_cols=tile_cols, interpret=interpret,
+        diag_in_mask=True,
     )
     if exact_f64:
         corr = "f64"

@@ -863,7 +863,10 @@ def test_strong_pair_selection_invariants():
         assert i not in idx[i]
         assert len(set(idx[i].tolist())) == k
     mask = np.asarray(strong_pair_mask(jnp.asarray(idx), n))
-    assert mask.sum() == n * k
+    # exactly idx plus the self diagonal (carried in the exclusion table
+    # so the kernel can skip its per-pair self compare, r5)
+    assert mask.sum() == n * k + n
+    assert np.diagonal(mask).all()
     rows = np.repeat(np.arange(n), k)
     assert mask[rows, idx.reshape(-1)].all()
     # rows 2,3 are the first planet's moon pair: each moon's top-k must
