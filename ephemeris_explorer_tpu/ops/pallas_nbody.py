@@ -1025,12 +1025,24 @@ def pairwise_accel_f32_masked(
     ``diag_in_mask=True`` promises the mask already excludes the self
     diagonal (as `strong_pair_mask` builds it), dropping the in-kernel
     self compare."""
-    n = pos.shape[0]
-    tile_cols = min(tile_cols, n)
-    tile_rows = min(tile_rows, n)
-    assert n % tile_rows == 0 and n % tile_cols == 0
+    return _pallas_f32_masked(
+        pos.T, mu, mask, pos, tile_rows, tile_cols, diag_in_mask, interpret
+    )
 
-    lane = pos.T  # (3, N)
+
+def _pallas_f32_masked(lane, mu, mask, rows, tile_rows, tile_cols,
+                       diag_in_mask, interpret):
+    """Shared pallas_call: lane (3, N) f32 sources, rows (NL, 3) f32
+    receivers, mask (NL, N) int8, out (NL, 3) f32.  NL == N for the
+    square wrapper; the rectangular (row-sharded) wrapper requires
+    ``diag_in_mask`` (local row ids differ from global column ids)."""
+    n = lane.shape[1]
+    nl = rows.shape[0]
+    tile_cols = min(tile_cols, n)
+    tile_rows = min(tile_rows, nl)
+    assert n % tile_cols == 0 and nl % tile_rows == 0
+    assert mask.shape == (nl, n), (mask.shape, nl, n)
+
     kernel = partial(
         _accel_kernel_f32_masked, n_bodies=n, tile_rows=tile_rows,
         tile_cols=tile_cols, diag_in_mask=diag_in_mask,
@@ -1038,7 +1050,7 @@ def pairwise_accel_f32_masked(
     with jax.enable_x64(False):
         return pl.pallas_call(
             kernel,
-            grid=(n // tile_rows,),
+            grid=(nl // tile_rows,),
             in_specs=[
                 pl.BlockSpec((3, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -1050,9 +1062,25 @@ def pairwise_accel_f32_masked(
             out_specs=pl.BlockSpec(
                 (tile_rows, 3), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
-            out_shape=jax.ShapeDtypeStruct((n, 3), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((nl, 3), jnp.float32),
             interpret=interpret,
-        )(lane, mu, mask, pos)
+        )(lane, mu, mask, rows)
+
+
+@partial(jax.jit, static_argnames=("tile_rows", "tile_cols", "interpret"))
+def pairwise_accel_f32_masked_rows(
+    pos, mu, mask, rows,
+    tile_rows: int = 256, tile_cols: int = 2048, interpret: bool = False,
+):
+    """Rectangular (row-shardable) masked f32 kernel: pos (N, 3) f32 ALL
+    source bodies, rows (NL, 3) f32 local receivers, mask (NL, N) int8
+    exclusion table carrying the GLOBAL self diagonal
+    (`strong_pair_mask_rows`).  Column accumulation order matches the
+    square kernel for equal tile_cols, so a row decomposition is
+    bitwise-identical to the unsharded result."""
+    return _pallas_f32_masked(
+        pos.T, mu, mask, rows, tile_rows, tile_cols, True, interpret
+    )
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -1086,6 +1114,38 @@ def strong_pair_mask(idx, n: int):
     rows = jnp.arange(idx.shape[0], dtype=idx.dtype)[:, None]
     m = jnp.zeros((idx.shape[0], n), jnp.int8).at[rows, idx].set(jnp.int8(1))
     return m.at[rows[:, 0], rows[:, 0]].set(jnp.int8(1))
+
+
+@partial(jax.jit, static_argnames=("k",))
+def strong_pair_indices_rows(pos, rows, mu, row0, k: int = 16):
+    """Rectangular `strong_pair_indices`: top-k GLOBAL columns for the
+    local receiver rows.  pos (N, 3) all sources, rows (NL, 3) local
+    receivers at global offset ``row0`` (traced scalar), mu (N,).
+    Row-independent, so a row decomposition matches the square result
+    bitwise."""
+    assert k < pos.shape[0]
+    p = pos.astype(jnp.float32)
+    r = rows.astype(jnp.float32)
+    d = p[None, :, :] - r[:, None, :]                       # (NL, N, 3)
+    r2 = jnp.sum(d * d, axis=-1)
+    nl = r.shape[0]
+    self_ = (
+        jnp.arange(pos.shape[0], dtype=jnp.int32)[None, :]
+        == (row0 + jnp.arange(nl, dtype=jnp.int32))[:, None]
+    )
+    r2 = jnp.where(self_, jnp.float32(1.0), r2)
+    s = mu.astype(jnp.float32)[None, :] * jax.lax.rsqrt(r2) ** 3
+    s = jnp.where(self_, jnp.float32(-jnp.inf), s)
+    _, idx = jax.lax.top_k(s, k)
+    return idx.astype(jnp.int32)
+
+
+def strong_pair_mask_rows(idx, n: int, row0):
+    """Rectangular `strong_pair_mask`: (NL, N) exclusion table for local
+    rows, self diagonal at the GLOBAL column row0 + i."""
+    rows = jnp.arange(idx.shape[0], dtype=idx.dtype)[:, None]
+    m = jnp.zeros((idx.shape[0], n), jnp.int8).at[rows, idx].set(jnp.int8(1))
+    return m.at[rows[:, 0], row0 + rows[:, 0]].set(jnp.int8(1))
 
 
 def _strong_correction(pos, mu, idx):
@@ -1236,33 +1296,44 @@ def _strong_corr_kernel_fast(gp_hi_ref, gp_lo_ref, rows_hi_ref, rows_lo_ref,
 
 
 def _strong_correction_fast(pos, mu, idx, tile_cols: int = 512,
-                            interpret: bool = False):
+                            interpret: bool = False, rows=None):
     """The production strong-set correction: split-limb feed, TwoFloat
     differencing in-kernel (see `_strong_corr_kernel_fast`).  ~1.7e-12
     relative on the hierarchy fixture — accuracy-equivalent for the
     ~1e-9-grade split mode, and the XLA glue drops from ~1190 us/step to
-    one packed f32 gather + one f32 transpose."""
-    n, k = idx.shape
+    one packed f32 gather + one f32 transpose.
+
+    ``rows`` (NL, 3) selects the rectangular form: receivers are the
+    local rows while ``idx`` holds GLOBAL source columns into ``pos`` —
+    the row decomposition for the sharded split mode.  Per-receiver
+    arithmetic is row-independent, so it is bitwise vs the square form."""
+    nl, k = idx.shape
     kp = 1 << (k - 1).bit_length()
-    hi = pos.astype(jnp.float32)                                 # (N, 3)
-    lo = (pos - hi.astype(pos.dtype)).astype(jnp.float32)
-    packed = jnp.concatenate([hi, lo], axis=1)                   # (N, 6)
-    g = jnp.take(packed, idx.reshape(-1), axis=0).reshape(n, k, 6)
-    gt = jnp.transpose(g, (2, 1, 0))                             # (6, K, N)
+    hi_all = pos.astype(jnp.float32)                             # (N, 3)
+    lo_all = (pos - hi_all.astype(pos.dtype)).astype(jnp.float32)
+    if rows is None:
+        rows = pos
+        hi, lo = hi_all, lo_all
+    else:
+        hi = rows.astype(jnp.float32)                            # (NL, 3)
+        lo = (rows - hi.astype(rows.dtype)).astype(jnp.float32)
+    packed = jnp.concatenate([hi_all, lo_all], axis=1)           # (N, 6)
+    g = jnp.take(packed, idx.reshape(-1), axis=0).reshape(nl, k, 6)
+    gt = jnp.transpose(g, (2, 1, 0))                             # (6, K, NL)
     # mu and idx are loop-invariant across a chunk's steps: XLA's while
     # LICM hoists this gather + split + transpose out of the step scan
-    muj = _split_f64(mu[idx].T)                                  # (K, N)
+    muj = _split_f64(mu[idx].T)                                  # (K, NL)
     gp_hi, gp_lo = gt[:3], gt[3:]
     if kp != k:
         padw = ((0, 0), (kp - k, 0), (0, 0))
         gp_hi = jnp.pad(gp_hi, padw)
         gp_lo = jnp.pad(gp_lo, padw)
         muj = TwoFloat(jnp.pad(muj.hi, padw[1:]), jnp.pad(muj.lo, padw[1:]))
-    tc = min(tile_cols, n)
-    assert n % tc == 0
+    tc = min(tile_cols, nl)
+    assert nl % tc == 0
     out_hi, out_lo = pl.pallas_call(
         _strong_corr_kernel_fast,
-        grid=(n // tc,),
+        grid=(nl // tc,),
         in_specs=[
             pl.BlockSpec((3, kp, tc), lambda i: (i * 0, i * 0, i),
                          memory_space=pltpu.VMEM),
@@ -1284,8 +1355,8 @@ def _strong_correction_fast(pos, mu, idx, tile_cols: int = 512,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((3, n), jnp.float32),
-            jax.ShapeDtypeStruct((3, n), jnp.float32),
+            jax.ShapeDtypeStruct((3, nl), jnp.float32),
+            jax.ShapeDtypeStruct((3, nl), jnp.float32),
         ],
         interpret=interpret,
     )(gp_hi, gp_lo, hi.T, lo.T, muj.hi, muj.lo)
@@ -1329,4 +1400,31 @@ def pairwise_accel_split(
     else:
         assert corr == "fast", corr
         c = _strong_correction_fast(pos, mu, idx, interpret=interpret)
+    return c + a32.astype(pos.dtype)
+
+
+@partial(jax.jit, static_argnames=("tile_rows", "tile_cols", "interpret"))
+def pairwise_accel_split_rows(
+    pos, rows, mu, idx, mask,
+    tile_rows: int = 256, tile_cols: int = 2048, interpret: bool = False,
+):
+    """Rectangular (row-shardable) magnitude-split acceleration: pos
+    (N, 3) f64 ALL bodies, rows (NL, 3) f64 local receivers, mu (N,),
+    idx (NL, K) GLOBAL strong columns (`strong_pair_indices_rows`),
+    mask (NL, N) int8 with the global diagonal
+    (`strong_pair_mask_rows`).  Returns (NL, 3) f64.
+
+    Each piece is per-receiver-independent with column order preserved,
+    so a row decomposition over a mesh axis (all_gather sources, local
+    rows) is BITWISE-identical to the square `pairwise_accel_split` for
+    equal tile_cols — the same contract as `pairwise_accel_df64_rows`.
+    Production correction only (``corr="fast"``); the cross-check
+    oracles stay on the square form."""
+    pos32 = pos.astype(jnp.float32)
+    mu32 = mu.astype(jnp.float32).reshape(1, -1)
+    a32 = pairwise_accel_f32_masked_rows(
+        pos32, mu32, mask, rows.astype(jnp.float32),
+        tile_rows=tile_rows, tile_cols=tile_cols, interpret=interpret,
+    )
+    c = _strong_correction_fast(pos, mu, idx, interpret=interpret, rows=rows)
     return c + a32.astype(pos.dtype)

@@ -250,6 +250,60 @@ def make_rowsharded_scan_qf(
 # ---------------------------------------------------------------------------
 
 
+def make_rowsharded_split_force(
+    mesh: Mesh, mus, k: int = 16, interpret: bool = False, **force_tiles
+):
+    """Row-sharded magnitude-split force (round-5 mode, SURVEY.md 2.6's
+    row decomposition applied to the ~1e-9 rung): returns
+    ``(refresh, force)``.
+
+    * ``refresh(pos)``: per-CHUNK strong-set refresh — all_gather the f64
+      positions over "model", local top-k + exclusion table (with the
+      GLOBAL self diagonal, so the masked kernel needs no row-id scalar).
+      Returns (idx, mask) row-sharded over "model".
+    * ``force(pos, idx, mask)``: per-STEP acceleration — all_gather +
+      `pairwise_accel_split_rows` (rectangular masked f32 kernel + the
+      fast strong-set correction gathering from the full source set).
+
+    Both are bitwise-identical to the unsharded
+    `pairwise_accel_split` / `strong_pair_indices` / `strong_pair_mask`
+    for equal tile_cols: every piece is per-receiver-row independent
+    with column order preserved (CI: test_sharding.py; on-chip:
+    tools/tpu_smoke.py split leg).
+    """
+    from ..ops.pallas_nbody import (
+        pairwise_accel_split_rows,
+        strong_pair_indices_rows,
+        strong_pair_mask_rows,
+    )
+
+    mu_dev = jnp.asarray(mus)
+
+    def refresh_kernel(pos_l):
+        pos_all = jax.lax.all_gather(pos_l, "model", axis=0, tiled=True)
+        row0 = jax.lax.axis_index("model").astype(jnp.int32) * pos_l.shape[0]
+        idx = strong_pair_indices_rows(pos_all, pos_l, mu_dev, row0, k=k)
+        return idx, strong_pair_mask_rows(idx, pos_all.shape[0], row0)
+
+    def force_kernel(pos_l, idx_l, mask_l):
+        pos_all = jax.lax.all_gather(pos_l, "model", axis=0, tiled=True)
+        return pairwise_accel_split_rows(
+            pos_all, pos_l, mu_dev, idx_l, mask_l,
+            interpret=interpret, **force_tiles,
+        )
+
+    row = P("model", None)
+    refresh = jax.jit(jax.shard_map(
+        refresh_kernel, mesh=mesh,
+        in_specs=(row,), out_specs=(row, row), check_vma=False,
+    ))
+    force = jax.jit(jax.shard_map(
+        force_kernel, mesh=mesh,
+        in_specs=(row, row, row), out_specs=row, check_vma=False,
+    ))
+    return refresh, force
+
+
 def carry_sharding(mesh: Mesh, ensemble: bool) -> ELM2Carry:
     """PartitionSpecs for an ELM2Carry: bodies on "model", ensembles on "data"."""
     lead = ("data",) if ensemble else ()

@@ -559,3 +559,64 @@ def test_rowsharded_scan_qf_precise_sums_at_scale():
     np.testing.assert_allclose(
         np.asarray(out.dy), np.asarray(ref.dy), rtol=1e-13, atol=0
     )
+
+
+def test_rowsharded_split_force_matches():
+    """The round-5 magnitude-split mode row-sharded over 8 devices:
+    refresh (top-k + exclusion table with the GLOBAL diagonal) must be
+    BITWISE vs unsharded (integer outputs), and the per-step force
+    (rectangular masked f32 kernel + fast strong-set correction
+    gathering from the all_gathered source set) within 1e-13 rowwise.
+
+    Value-level for the force, not bitwise, ON THIS CPU MESH ONLY:
+    every piece is bitwise sliced-vs-square when run standalone
+    (verified while building), but interpret-mode Pallas inlines the
+    eft chains into the enclosing jit where XLA:CPU fuses them
+    differently per program layout (measured ~4e-15 rowwise — the same
+    documented hazard as test_rowsharded_scan_qf_precise_sums_at_scale).
+    The BITWISE sharded-vs-unsharded gate runs on real Mosaic in
+    tools/tpu_smoke.py's split_rowsharded leg."""
+    from ephemeris_explorer_tpu.ops.pallas_nbody import (
+        pairwise_accel_split, strong_pair_indices, strong_pair_mask,
+    )
+
+    mesh = sh.make_mesh(data=1, model=8)
+    rng = np.random.default_rng(23)
+    n, k = 64, 6
+    # two clusters: close pairs AND distant geometry in the strong sets
+    pos = np.concatenate([
+        rng.normal(size=(n // 2, 3)) * 1e6,
+        rng.normal(size=(n // 2, 3)) * 1e6 + 3e7,
+    ])
+    mu = rng.uniform(1e3, 1e5, n)
+    tiles = dict(tile_rows=8, tile_cols=16)
+
+    pos_j = jnp.asarray(pos)
+    mu_j = jnp.asarray(mu)
+    idx_ref = strong_pair_indices(pos_j, mu_j, k=k)
+    mask_ref = strong_pair_mask(idx_ref, n)
+    a_ref = pairwise_accel_split(pos_j, mu_j, idx_ref, mask_ref,
+                                 interpret=True, **tiles)
+
+    refresh, force = sh.make_rowsharded_split_force(
+        mesh, mu, k=k, interpret=True, **tiles)
+    p = jax.device_put(pos_j, jax.NamedSharding(mesh, jax.P("model", None)))
+    def rowwise_close(a, ref):
+        a, ref = np.asarray(a), np.asarray(ref)
+        rel = np.linalg.norm(a - ref, axis=1) / np.linalg.norm(ref, axis=1)
+        assert rel.max() < 1e-13, rel.max()
+
+    idx, mask = refresh(p)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
+    np.testing.assert_array_equal(np.asarray(mask), np.asarray(mask_ref))
+    rowwise_close(force(p, idx, mask), a_ref)
+
+    # a second epoch: refreshed sets keep matching after the state moves
+    p2 = p + jnp.asarray(rng.normal(size=(n, 3)) * 1e4)
+    idx2, mask2 = refresh(p2)
+    idx2_ref = strong_pair_indices(p2, mu_j, k=k)
+    np.testing.assert_array_equal(np.asarray(idx2), np.asarray(idx2_ref))
+    a2_ref = pairwise_accel_split(
+        p2, mu_j, idx2_ref, strong_pair_mask(idx2_ref, n),
+        interpret=True, **tiles)
+    rowwise_close(force(p2, idx2, mask2), a2_ref)

@@ -268,6 +268,25 @@ def main() -> int:
     assert rel.max() < 5e-9, f"split-mode on-device envelope blew up: {rel.max()}"
     print(f"PASS split_mode_mosaic    (N={nh} hierarchy, max rel {rel.max():.1e} vs host f64)")
 
+    # --- ROW-SHARDED split mode (r5): shard_map x masked/corr Mosaic
+    # kernels, BITWISE vs the unsharded composition.  On real Mosaic the
+    # eft chains live inside compiled kernels (out of the jit fusion's
+    # reach), so the bitwise contract HOLDS here — unlike the CI mesh,
+    # where interpret-mode inlining forces a value-level gate
+    # (test_rowsharded_split_force_matches' docstring).
+    refresh, force = sh.make_rowsharded_split_force(
+        mesh, np.asarray(hmu), k=8, tile_rows=8, tile_cols=128
+    )
+    hp = jax.device_put(
+        hpos, jax.NamedSharding(mesh, jax.sharding.PartitionSpec("model", None))
+    )
+    sidx, smask2 = refresh(hp)
+    np.testing.assert_array_equal(np.asarray(sidx), np.asarray(idx))
+    np.testing.assert_array_equal(np.asarray(smask2), np.asarray(smask))
+    a_sh = np.asarray(force(hp, sidx, smask2))
+    np.testing.assert_array_equal(a_sh, a_split)
+    print(f"PASS split_rowsharded     (N={nh}, refresh+force, bitwise vs unsharded)")
+
     print("tpu_smoke: all production shard_map x Mosaic compositions OK")
     return 0
 
