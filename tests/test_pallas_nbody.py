@@ -874,3 +874,51 @@ def test_strong_pair_selection_invariants():
     # sun (the dominant attractor)
     assert 3 in idx[2] and 2 in idx[3]
     assert 0 in idx[2] and 0 in idx[3]
+
+
+def test_split_rows_slices_match_square():
+    """The rectangular (row-shardable) split-mode pieces are BITWISE the
+    corresponding row slices of the square composition when run
+    standalone — the invariant the sharded wrapper is built on (the
+    shard_map-composed gate with its interpret-fusion caveat lives in
+    test_sharding.py; the on-chip bitwise gate in tools/tpu_smoke.py)."""
+    from ephemeris_explorer_tpu.ops.pallas_nbody import (
+        _strong_correction_fast, pairwise_accel_f32_masked,
+        pairwise_accel_f32_masked_rows, strong_pair_indices,
+        strong_pair_indices_rows, strong_pair_mask, strong_pair_mask_rows)
+
+    rng = np.random.default_rng(5)
+    n, k, nl = 32, 4, 8
+    pos = jnp.asarray(np.concatenate([
+        rng.normal(size=(n // 2, 3)) * 1e6,
+        rng.normal(size=(n // 2, 3)) * 1e6 + 3e7,
+    ]))
+    mu = jnp.asarray(rng.uniform(1e3, 1e5, n))
+    tiles = dict(tile_rows=8, tile_cols=8)
+
+    idx = strong_pair_indices(pos, mu, k=k)
+    mask = strong_pair_mask(idx, n)
+    for shard in range(n // nl):
+        r0 = shard * nl
+        rows = pos[r0:r0 + nl]
+        idx_r = strong_pair_indices_rows(pos, rows, mu, jnp.int32(r0), k=k)
+        np.testing.assert_array_equal(
+            np.asarray(idx_r), np.asarray(idx[r0:r0 + nl]))
+        mask_r = strong_pair_mask_rows(idx_r, n, jnp.int32(r0))
+        np.testing.assert_array_equal(
+            np.asarray(mask_r), np.asarray(mask[r0:r0 + nl]))
+
+    pos32 = pos.astype(jnp.float32)
+    mu32 = mu.astype(jnp.float32).reshape(1, -1)
+    m_sq = np.asarray(pairwise_accel_f32_masked(
+        pos32, mu32, mask, interpret=True, diag_in_mask=True, **tiles))
+    c_sq = np.asarray(_strong_correction_fast(pos, mu, idx, interpret=True))
+    for shard in range(n // nl):
+        r0 = shard * nl
+        m_r = pairwise_accel_f32_masked_rows(
+            pos32, mu32, mask[r0:r0 + nl], pos32[r0:r0 + nl],
+            interpret=True, **tiles)
+        np.testing.assert_array_equal(np.asarray(m_r), m_sq[r0:r0 + nl])
+        c_r = _strong_correction_fast(
+            pos, mu, idx[r0:r0 + nl], interpret=True, rows=pos[r0:r0 + nl])
+        np.testing.assert_array_equal(np.asarray(c_r), c_sq[r0:r0 + nl])
